@@ -1,0 +1,431 @@
+"""Snapshot-versioned, bucket-partitioned parquet table with MERGE.
+
+This is the engine's sink. It implements the subset of Iceberg
+semantics the CDC engine needs — atomic snapshot commits, bucketed
+copy-on-write MERGE with partition pruning, additive schema evolution,
+time-travelable history — over plain parquet, because no Iceberg jars
+ship in this sandbox. On a real cluster the ``merge`` call is the
+moral equivalent of::
+
+    MERGE INTO target t USING updates u
+    ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
+    WHEN MATCHED AND u.op = 'delete' AND u.lsn > t._lsn THEN DELETE
+    WHEN MATCHED AND u.lsn > t._lsn THEN UPDATE SET *
+    WHEN NOT MATCHED AND u.op != 'delete' THEN INSERT *
+
+and the class is shaped so an Iceberg-backed implementation drops in
+behind the same API.
+
+Reference parity (SURVEY.md section 2):
+- K1/K2/K4 idempotent check-then-insert sinks
+  (userCode/wrd/dag.py:256-314, userCode/groundwater/dag.py:62-148,
+  userCode/xlsx/dag.py:79-96) -> the NOT-MATCHED insert arm;
+- the per-row LSN guard reproduces the reference's "duplicate create
+  is tolerated / 500-as-duplicate" semantics (userCode/test_frost.py
+  duplicate-id tests) as a no-op update;
+- A7 counter aggregates over sink results
+  (userCode/groundwater/dag.py:63-148) -> MergeResult row counts.
+
+Scale design (100 TB):
+- data is hash-bucketed on the first key column (analog of Iceberg
+  ``bucket(conv_id)``); a merge reads ONLY the buckets the update
+  batch touches (partition pruning at the file-manifest level);
+- the merge shuffle is salted across all key columns, so a hot
+  conversation spreads over many tasks (north_rule: "salted,
+  key-partitioned shuffle");
+- copy-on-write at bucket granularity: untouched buckets carry their
+  file references forward into the new snapshot — no data movement;
+- commits are atomic: write snapshot JSON, then os.replace() of the
+  CURRENT pointer (rename is atomic on POSIX; on object stores this
+  is Iceberg's metadata swap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
+_BUCKET_COL = "_b"
+
+
+@dataclass
+class MergeResult:
+    """Counts + lineage for one MERGE (north_rule: per-partition
+    lineage and row-count metrics)."""
+
+    version: int
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    rows_noop: int = 0
+    touched_buckets: list[int] = field(default_factory=list)
+    partition_counts: dict[int, int] = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "rows_inserted": self.rows_inserted,
+            "rows_updated": self.rows_updated,
+            "rows_deleted": self.rows_deleted,
+            "rows_noop": self.rows_noop,
+            "touched_buckets": self.touched_buckets,
+            "partition_counts": {str(k): v for k, v in self.partition_counts.items()},
+        }
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned parquet table supporting MERGE."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # ---------------------------------------------------------- meta
+    @property
+    def _current_ptr(self) -> str:
+        return os.path.join(self.meta_dir, "CURRENT")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._current_ptr)
+
+    def current_version(self) -> int:
+        with open(self._current_ptr) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"snap-{v:08d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snap-"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _commit(self, snap: dict) -> None:
+        """Atomic snapshot commit: fsync snapshot file, then atomically
+        swing the CURRENT pointer (os.replace = POSIX rename)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snap_path = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
+        with open(snap_path, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._current_ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(snap["version"]))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._current_ptr)
+
+    # --------------------------------------------------------- schema
+    def schema(self) -> T.StructType:
+        """User-visible schema (excludes the hidden LSN guard column)."""
+        return T.StructType.fromJson(json.loads(self.snapshot()["schema"]))
+
+    def _stored_schema(self) -> T.StructType:
+        s = self.schema()
+        return T.StructType(list(s.fields) + [T.StructField(LSN_COL, T.LongType(), True)])
+
+    # ----------------------------------------------------------- read
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (time travel). Missing columns
+        in old files are filled with nulls (additive schema evolution —
+        mirrors the reference's extra='allow' carry-through,
+        userCode/groundwater/wells.py:30)."""
+        df = self._read_internal(spark, version)
+        return df.drop(LSN_COL)
+
+    def _read_internal(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        stored = T.StructType(
+            list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
+        )
+        files: list[str] = []
+        for b, flist in snap["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(flist)
+        if not files:
+            return spark.createDataFrame([], stored)
+        # mergeSchema not needed: we pass the (superset) snapshot
+        # schema explicitly; parquet fills absent columns with null.
+        return spark.read.schema(stored).parquet(*files)
+
+    # ---------------------------------------------------------- create
+    @staticmethod
+    def create(
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        t = LakeTable(path)
+        if t.exists():
+            raise ValueError(f"table already exists at {path}")
+        os.makedirs(t.data_dir, exist_ok=True)
+        t._commit(
+            {
+                "version": 0,
+                "parent": None,
+                "schema": json.dumps(schema.jsonValue()),
+                "key_cols": key_cols,
+                "num_buckets": num_buckets,
+                "files": {},
+                "summary": {"operation": "create"},
+            }
+        )
+        return t
+
+    # ---------------------------------------------------------- write
+    def _bucket_expr(self, key_col: str):
+        n = self.snapshot()["num_buckets"]
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
+
+    def _write_buckets(self, df: DataFrame, salt: int = 8) -> dict[str, list[str]]:
+        """Write df (stored schema + _b) into per-bucket parquet files.
+
+        The repartition is salted over the full key so a hot bucket
+        (hot conversation) is written by up to ``salt`` parallel tasks.
+        """
+        snap = self.snapshot()
+        key_cols = snap["key_cols"]
+        out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
+        salted = df.repartition(
+            max(df.sparkSession.sparkContext.defaultParallelism, 1),
+            F.col(_BUCKET_COL),
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt)),
+        )
+        salted.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{_BUCKET_COL}="):
+                b = entry.split("=")[1]
+                bdir = os.path.join(out_dir, entry)
+                files[b] = [
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                ]
+        return files
+
+    def overwrite(self, df: DataFrame, lsn: int = 0) -> int:
+        """Full-refresh load (reference entry point C: the xlsx batch
+        load, userCode/xlsx/main.py:19-28 — no watermark, replace all)."""
+        snap = self.snapshot()
+        key = snap["key_cols"][0]
+        out = df
+        if LSN_COL not in df.columns:
+            out = out.withColumn(LSN_COL, F.lit(lsn).cast("long"))
+        out = out.withColumn(_BUCKET_COL, self._bucket_expr(key))
+        files = self._write_buckets(out)
+        new_version = snap["version"] + 1
+        self._commit(
+            {
+                "version": new_version,
+                "parent": snap["version"],
+                "schema": json.dumps(
+                    T.StructType(
+                        [f for f in df.schema.fields if f.name != LSN_COL]
+                    ).jsonValue()
+                ),
+                "key_cols": snap["key_cols"],
+                "num_buckets": snap["num_buckets"],
+                "files": files,
+                "summary": {"operation": "overwrite"},
+            }
+        )
+        return new_version
+
+    # ---------------------------------------------------------- merge
+    def evolve_schema(self, incoming: T.StructType) -> T.StructType:
+        """Additive schema evolution: new columns in the incoming batch
+        are appended to the table schema (Iceberg ALTER TABLE ADD
+        COLUMNS analog; reference: pydantic extra='allow',
+        userCode/groundwater/wells.py:30,269 and the carried-through
+        undeclared field test userCode/groundwater/wells_test.py:29-31).
+        Type changes or dropped columns are NOT evolution — error."""
+        current = self.schema()
+        cur_names = {f.name: f for f in current.fields}
+        added = []
+        for f in incoming.fields:
+            if f.name in (LSN_COL, _BUCKET_COL):
+                continue
+            if f.name in cur_names:
+                if f.dataType != cur_names[f.name].dataType:
+                    raise ValueError(
+                        f"incompatible type change for column {f.name}: "
+                        f"{cur_names[f.name].dataType} -> {f.dataType}"
+                    )
+            else:
+                added.append(T.StructField(f.name, f.dataType, True))
+        if not added:
+            return current
+        return T.StructType(list(current.fields) + added)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        salt: int = 8,
+    ) -> MergeResult:
+        """Apply a change batch with LWW-by-LSN semantics.
+
+        ``updates`` columns: key cols + ``op`` (insert|update|delete) +
+        ``lsn`` (monotonic long) + payload columns. The batch may
+        contain multiple events per key (intra-batch duplicates,
+        out-of-order); a single ranking window resolves them together
+        with the base rows, which is the engine's one shuffle.
+
+        Semantics (north_rule LWW): per key, highest LSN wins; base
+        row participates with its stored ``_lsn`` so replayed or
+        out-of-order events with lower LSN are no-ops; a winning
+        delete removes the row.
+        """
+        spark = updates.sparkSession
+        snap = self.snapshot()
+        key_cols: list[str] = snap["key_cols"]
+        bucket_key = key_cols[0]
+
+        # -- schema evolution (additive) ---------------------------
+        payload_fields = T.StructType(
+            [f for f in updates.schema.fields if f.name not in (op_col, lsn_col)]
+        )
+        evolved = self.evolve_schema(payload_fields)
+        evolved_names = [f.name for f in evolved.fields]
+
+        # -- partition pruning: which buckets does the batch touch? -
+        n_buckets = snap["num_buckets"]
+        bexpr = F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
+        upd = updates.withColumn(_BUCKET_COL, bexpr)
+        touched = sorted(
+            r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
+        )
+
+        base = self._read_internal(spark, buckets=touched)
+        # project base to the evolved schema (nulls for new columns)
+        base_sel = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in base.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in evolved.fields
+        ]
+        base_tagged = base.select(
+            *base_sel,
+            F.col(LSN_COL).alias("__lsn"),
+            F.lit("base").alias("__op"),
+            F.lit(0).alias("__src"),
+        )
+        upd_sel = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in upd.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in evolved.fields
+        ]
+        upd_tagged = upd.select(
+            *upd_sel,
+            F.col(lsn_col).cast("long").alias("__lsn"),
+            F.col(op_col).alias("__op"),
+            F.lit(1).alias("__src"),
+        )
+
+        # -- the one shuffle: union + ranking window ----------------
+        # row_number over (key) ordered by lsn desc, base-first on tie
+        # (a replayed event with the same LSN is a no-op). This is the
+        # W1 operator: userCode/awqms/dag.py:155-187.
+        unioned = base_tagged.unionByName(upd_tagged)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc("__lsn"), F.asc("__src")
+        )
+        ranked = unioned.select(
+            "*",
+            F.row_number().over(w).alias("__rn"),
+            F.min("__src").over(Window.partitionBy(*key_cols)).alias("__all_chg"),
+        )
+        winners = ranked.filter(F.col("__rn") == 1)
+        winners = winners.persist()
+        try:
+            # -- metrics (A7 analog) --------------------------------
+            # has_base := not all rows for the key are changes
+            action = (
+                F.when(F.col("__src") == 0, F.lit("noop"))  # base won
+                .when(
+                    (F.col("__op") == "delete") & (F.col("__all_chg") == 0),
+                    F.lit("delete"),
+                )
+                .when(F.col("__op") == "delete", F.lit("drop_insert_delete"))
+                .when(F.col("__all_chg") == 0, F.lit("update"))
+                .otherwise(F.lit("insert"))
+            )
+            counts = {
+                r["a"]: r["c"]
+                for r in winners.select(action.alias("a"))
+                .groupBy("a")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            }
+            out = winners.filter(F.col("__op") != "delete").select(
+                *[F.col(c) for c in evolved_names],
+                F.col("__lsn").alias(LSN_COL),
+            )
+            out = out.withColumn(
+                _BUCKET_COL,
+                F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),
+            )
+            # per-write-partition row counts (lineage metric)
+            part_counts = {}
+            new_files = self._write_buckets(out, salt=salt)
+            for b, flist in new_files.items():
+                part_counts[int(b)] = len(flist)
+        finally:
+            winners.unpersist()
+
+        # carry untouched buckets forward (copy-on-write pruning)
+        files = dict(snap["files"])
+        for b in touched:
+            files.pop(str(b), None)
+        for b, flist in new_files.items():
+            files[b] = flist
+
+        new_version = snap["version"] + 1
+        result = MergeResult(
+            version=new_version,
+            rows_inserted=counts.get("insert", 0),
+            rows_updated=counts.get("update", 0),
+            rows_deleted=counts.get("delete", 0),
+            rows_noop=counts.get("noop", 0),
+            touched_buckets=touched,
+            partition_counts=part_counts,
+        )
+        self._commit(
+            {
+                "version": new_version,
+                "parent": snap["version"],
+                "schema": json.dumps(evolved.jsonValue()),
+                "key_cols": key_cols,
+                "num_buckets": n_buckets,
+                "files": files,
+                "summary": {"operation": "merge", **result.as_dict()},
+            }
+        )
+        return result

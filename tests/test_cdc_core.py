@@ -1,0 +1,228 @@
+"""End-to-end CDC correctness: replay equality vs the pure-Python
+oracle fold, run-twice idempotency, resume-from-checkpoint, deletes,
+and additive schema evolution.
+
+Mirrors the reference's crown-jewel tests (SURVEY.md section 5.4):
+userCode/wrd/dag_test.py:113-216 (run job twice, assert no duplicates
+and latest values match) recast as deterministic replay fixtures per
+BASELINE.json:input_hint.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oregonwaterdataportal_etl_spark.cdc import (
+    CdcRunner,
+    ManifestLog,
+    OffsetLog,
+    generate_changes,
+    lww_dedup,
+    oracle_fold,
+)
+from oregonwaterdataportal_etl_spark.cdc.changegen import (
+    TRANSCRIPT_SCHEMA,
+    generate_changes_pdf,
+)
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+KEYS = ["conv_id", "turn_idx"]
+
+from oregonwaterdataportal_etl_spark.cdc.changegen import CHANGE_SCHEMA
+import pyspark.sql.types as T
+
+CHANGE_SCHEMA_META = T.StructType(
+    list(CHANGE_SCHEMA.fields) + [T.StructField("tool_meta", T.StringType(), True)]
+)
+
+
+def chg_df(spark, rows, schema=CHANGE_SCHEMA):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+
+def make_table(tmp_path, name="t"):
+    return LakeTable.create(
+        str(tmp_path / name), TRANSCRIPT_SCHEMA, key_cols=KEYS, num_buckets=8
+    )
+
+
+def table_state(table, spark):
+    rows = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+def oracle_state(events):
+    state = oracle_fold(events)
+    return sorted(
+        (k[0], k[1], v["role"], v["text"], v["tool"]) for k, v in state.items()
+    )
+
+
+@pytest.fixture(scope="module")
+def changes_pdf():
+    return generate_changes_pdf(
+        n_events=5000, n_convs=300, seed=42, update_rate=0.3, delete_rate=0.08
+    )
+
+
+def test_lww_dedup_matches_oracle_keys(spark, changes_pdf):
+    df = spark.createDataFrame(changes_pdf)
+    deduped = lww_dedup(df)
+    # exactly one row per key, and it carries the max LSN for that key
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["lsn"] for r in deduped.collect()
+    }
+    expected = {}
+    for ev in changes_pdf.to_dict("records"):
+        k = (ev["conv_id"], ev["turn_idx"])
+        expected[k] = max(expected.get(k, -1), ev["lsn"])
+    assert got == expected
+
+
+def test_replay_equality_vs_oracle(spark, tmp_path, changes_pdf):
+    """Apply the full stream once; final table == sequential oracle fold
+    (per-turn text equality under stable (conv_id, turn_idx) ordering)."""
+    table = make_table(tmp_path)
+    df = spark.createDataFrame(changes_pdf)
+    table.merge(df)
+    assert table_state(table, spark) == oracle_state(changes_pdf.to_dict("records"))
+
+
+def test_multi_batch_equals_single_batch(spark, tmp_path, changes_pdf):
+    """Applying in 5 LSN-ordered batches == applying all at once."""
+    t1 = make_table(tmp_path, "multi")
+    n = len(changes_pdf)
+    step = n // 5
+    for i in range(5):
+        lo, hi = i * step, (i + 1) * step if i < 4 else n
+        batch = changes_pdf[(changes_pdf.lsn >= lo) & (changes_pdf.lsn < hi)]
+        t1.merge(spark.createDataFrame(batch))
+    assert table_state(t1, spark) == oracle_state(changes_pdf.to_dict("records"))
+
+
+def test_run_twice_is_noop(spark, tmp_path, changes_pdf):
+    """The reference's run-twice invariant: re-merging the same batch
+    changes nothing (per-row LSN guard)."""
+    table = make_table(tmp_path)
+    df = spark.createDataFrame(changes_pdf)
+    table.merge(df)
+    state1 = table_state(table, spark)
+    r2 = table.merge(df)
+    assert table_state(table, spark) == state1
+    assert r2.rows_inserted == 0 and r2.rows_updated == 0
+    # deletes of already-deleted keys are also no-ops
+    assert r2.rows_deleted == 0
+
+
+def test_out_of_order_event_loses(spark, tmp_path):
+    """A late event with a lower LSN than the applied row is a no-op."""
+    table = make_table(tmp_path)
+    rows = [
+        ("insert", 10, "c1", 0, "user", "new", None, None),
+        ("insert", 5, "c1", 1, "user", "other", None, None),
+    ]
+    df = chg_df(spark, rows)
+    table.merge(df)
+    late = chg_df(spark, [("update", 7, "c1", 0, "user", "stale", None, None)])
+    r = table.merge(late)
+    assert r.rows_updated == 0 and r.rows_noop >= 1
+    texts = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in table.read(spark).collect()
+    }
+    assert texts[("c1", 0)] == "new"
+
+
+def test_delete_wins_and_removes(spark, tmp_path):
+    table = make_table(tmp_path)
+    df = chg_df(
+        spark,
+        [
+            ("insert", 1, "c1", 0, "user", "hello", None, None),
+            ("insert", 2, "c1", 1, "user", "world", None, None),
+            ("delete", 3, "c1", 0, None, None, None, None),
+        ],
+    )
+    r = table.merge(df)
+    state = table_state(table, spark)
+    assert state == [("c1", 1, "user", "world", None)]
+    # insert+delete same batch: net effect one insert, no delete metric
+    assert r.rows_inserted == 1
+
+
+def test_runner_resume_from_checkpoint(spark, tmp_path, changes_pdf):
+    """Kill between windows; resume applies only the remainder; final
+    state equals the oracle (T2/T3 watermark semantics)."""
+    table = make_table(tmp_path)
+    offsets = OffsetLog(str(tmp_path / "offsets"))
+    manifests = ManifestLog(str(tmp_path / "manifests"))
+    df = spark.createDataFrame(changes_pdf)
+    df.write.mode("overwrite").parquet(str(tmp_path / "stream"))
+    source = lambda: spark.read.parquet(str(tmp_path / "stream"))  # noqa: E731
+
+    runner = CdcRunner(table, offsets, manifests, source)
+    # first "process": two windows then crash
+    assert runner.run_window(0, 999) is not None
+    assert runner.run_window(1000, 1999) is not None
+    assert offsets.last_lsn() == 1999
+
+    # second "process": fresh runner resumes from checkpoint
+    runner2 = CdcRunner(table, offsets, manifests, source)
+    results = runner2.run_available(window_size=1500)
+    assert results, "resume should apply remaining windows"
+    assert table_state(table, spark) == oracle_state(changes_pdf.to_dict("records"))
+    # replaying an already-committed window is a no-op
+    assert runner2.run_window(0, 999) is None
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """New additive column appears mid-stream; old rows read as null;
+    MERGE resolves schemas (reference extra='allow' carry-through)."""
+    table = make_table(tmp_path)
+    df1 = chg_df(spark, [("insert", 1, "c1", 0, "user", "a", None, None)])
+    table.merge(df1)
+    df2 = chg_df(
+        spark,
+        [("insert", 2, "c1", 1, "user", "b", None, None, "meta_x")],
+        schema=CHANGE_SCHEMA_META,
+    )
+    table.merge(df2)
+    out = {r["turn_idx"]: r["tool_meta"] for r in table.read(spark).collect()}
+    assert out == {0: None, 1: "meta_x"}
+    assert "tool_meta" in table.schema().names
+    # incompatible type change is rejected
+    df3_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("tool_meta", T.LongType()),
+        ]
+    )
+    df3 = spark.createDataFrame([("insert", 3, "c1", 2, 99)], schema=df3_schema)
+    with pytest.raises(Exception):
+        table.merge(df3)
+
+
+def test_bucket_pruning(spark, tmp_path, changes_pdf):
+    """A single-conversation batch touches exactly one bucket; the
+    merge must not rewrite the others (copy-on-write pruning)."""
+    table = make_table(tmp_path)
+    table.merge(spark.createDataFrame(changes_pdf))
+    files_before = dict(table.snapshot()["files"])
+    one = chg_df(
+        spark,
+        [("update", 10_000_000, "conv_00000007", 0, "user", "patched", None, None)],
+    )
+    r = table.merge(one)
+    assert len(r.touched_buckets) == 1
+    files_after = table.snapshot()["files"]
+    untouched = [b for b in files_before if int(b) not in r.touched_buckets]
+    assert untouched, "test needs untouched buckets"
+    for b in untouched:
+        assert files_after[b] == files_before[b]
