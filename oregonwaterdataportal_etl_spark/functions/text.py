@@ -1,0 +1,137 @@
+"""Text-analysis functions for training-data pipelines, Spark-native.
+
+All hot-path functions are built-in-expression compositions (JVM-side,
+codegen); nothing here drops to per-row Python. These extend the
+reference's string-function surface (SURVEY.md 2.8) to the operations
+a large-scale text pipeline needs: token counting, quality scoring,
+language-ID heuristics, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language-ID. Deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " est ", " les "],
+    "es": [" el ", " la ", " que ", " de ", " los "],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap baseline tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count: words, numbers, and single
+    punctuation marks counted separately — a deterministic
+    approximation of subword tokenizer output length."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), 1)
+    return F.size(toks)
+
+
+def occurrence_count(col: Column | str, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring —
+    (len(s) - len(replace(s, needle, ''))) / len(needle); identical
+    arithmetic is expressible in ANSI SQL for the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def stopword_score(col: Column | str, lang: str = "en") -> Column:
+    """Stopword hits per token — the classic quality/language signal."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    hits = None
+    for w in LANG_MARKERS[lang]:
+        h = occurrence_count(padded, w)
+        hits = h if hits is None else hits + h
+    return hits / F.greatest(token_count(c), F.lit(1))
+
+
+def detect_lang(col: Column | str) -> Column:
+    """Heuristic language-ID: the language whose marker-set scores
+    highest; 'und' when nothing matches. Pure expression tree
+    (a CASE over per-language scores) — no UDF, fully codegen."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            h = occurrence_count(padded, w)
+            s = h if s is None else s + h
+        scores[lang] = s
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build reversed so earlier languages win ties deterministically
+    for lang in reversed(list(scores)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document quality in [0,1]: length band, alpha ratio,
+    punctuation-burst penalty, stopword presence. Deterministic,
+    expression-only; thresholds follow common web-corpus filters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", "")).cast("double")
+    len_band = F.when(n < 10, 0.0).when(n > 20000, 0.5).otherwise(1.0)
+    alpha_ratio = alpha / F.greatest(n, F.lit(1.0))
+    punct_pen = F.when(punct / F.greatest(n, F.lit(1.0)) > 0.2, 0.5).otherwise(1.0)
+    stop = F.least(stopword_score(c) * 4.0, F.lit(1.0))
+    return F.round(len_band * 0.25 + alpha_ratio * 0.25 + punct_pen * 0.25 + stop * 0.25, 4)
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit document fingerprint (xxhash64 of NFC-trimmed text) —
+    the exact-dedup key. For oracle-comparable fingerprints use
+    md5_prefix_fingerprint (DuckDB lacks xxhash64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.trim(c))
+
+
+def md5_prefix_fingerprint(col: Column | str, hex_digits: int = 15) -> Column:
+    """Cross-engine-stable fingerprint: first `hex_digits` hex chars of
+    md5 as a bigint (15 hex digits < 2^60, safe in a long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast("long")
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingle array over normalized text — the MinHash
+    input. transform over a sequence of offsets: expression-only."""
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    norm = F.regexp_replace(c, r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(norm, i, F.lit(k)))
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram array (for n-gram Jaccard dedup)."""
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    words = F.split(F.regexp_replace(c, r"\s+", " "), " ")
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+    )

@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all expressed as DataFrame transforms whose heavy lifting
+stays JVM-side (hash/array expressions); the only shuffles are the
+groupBys/joins inherent to the algorithms.
+
+Scale notes (100 TB):
+- exact dedup: one hash-groupBy shuffle on a 64-bit fingerprint —
+  near-perfectly distributed keys, AQE coalesces the tail;
+- MinHash LSH: candidate generation is band-bucket explode + self-join
+  on (band, bucket); bucket keys are uniform by construction, and the
+  explode factor is `bands`, a constant. The final verify step only
+  touches candidate pairs, never the full cross product;
+- SimHash: 64-bit signatures; near-dup = identical band keys over
+  4 x 16-bit chunks (Hamming <= 3-ish recall), verified by popcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per identical text.
+    Fingerprint first (xxhash64) so the shuffle key is 8 bytes, not
+    the document; then min(id) per fingerprint — one shuffle with
+    map-side partial aggregation."""
+    fp = F.xxhash64(F.trim(F.col(text_col)))
+    keep = (
+        df.select(F.col(id_col), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 64, k: int = 5
+) -> DataFrame:
+    """MinHash signature array per document: for each of num_hashes
+    seeded hash functions, min over shingle hashes. Expression-only:
+    transform(hashes, h -> array_min(transform(shingles, s ->
+    xxhash64(s, seed=h))))."""
+    sh = shingles(text_col, k=k).alias("__sh")
+
+    def hasher(seed):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn("__sh", sh).withColumn("minhash", sigs).drop("__sh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified
+    by estimated Jaccard (signature agreement rate).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, k)
+    sig = sig.select(id_col, "minhash")
+    # band key = hash of the band's signature slice
+    banded = sig.select(
+        id_col,
+        "minhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice("minhash", i * rows_per_band + 1, rows_per_band),
+                        F.lit(i),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("__sig_a"),
+    )
+    b = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("__sig_b"),
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard = fraction of agreeing signature positions
+    est = F.size(
+        F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.size("__sig_a")
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(col: Column | str, k: int = 5) -> Column:
+    """64-bit SimHash over character shingles, expression-only.
+
+    For each bit b: sum over shingles of sign(bit b of xxhash64) and
+    take the majority. aggregate() folds the +/-1 votes per bit."""
+    sh = shingles(col, k=k)
+
+    def voter(mask):
+        # factory closure: F.aggregate inspects lambda arity, so the
+        # mask must be captured, not passed as a default argument
+        return lambda acc, s: acc + F.when(
+            F.xxhash64(s).bitwiseAND(mask) != 0, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(64):
+        mval = (1 << b) if b < 63 else -(1 << 63)  # signed-long-safe bit 63
+        mask = F.lit(mval).cast("long")
+        vote = F.aggregate(sh, F.lit(0).cast("long"), voter(mask))
+        bits.append(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming<=3 implies >=1 identical chunk),
+    self-join on (chunk_idx, chunk), verify exact Hamming distance."""
+    sig = df.select(id_col, simhash64(text_col).alias("__sim"))
+    chunks = sig.select(
+        id_col,
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__sim", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select("chunk_idx", "chunk", F.col(id_col).alias("id_a"), F.col("__sim").alias("__sa"))
+    b = chunks.select("chunk_idx", "chunk", F.col(id_col).alias("id_b"), F.col("__sim").alias("__sb"))
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one n-gram. Inverted-index join (explode ngrams, self-join on
+    ngram) -> exact Jaccard via array intersect/union sizes.
+    Quadratic in the worst case — the exact verifier for small/medium
+    corpora or post-LSH candidates; use minhash_lsh_pairs at scale."""
+    grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("__g"))
+    inv = grams.select(id_col, "__g", F.explode("__g").alias("gram"))
+    a = inv.select(F.col("gram"), F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    b = inv.select(F.col("gram"), F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    jac = F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb"))
+    return (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding cosine near-dup via random-hyperplane LSH buckets +
+    exact cosine verify within buckets (see similarity.py for the
+    shared hyperplane machinery)."""
+    from .similarity import add_hyperplane_bucket, cosine
+
+    with_b = add_hyperplane_bucket(df, vec_col, bits=bits, seed=seed)
+    a = with_b.select(F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = with_b.select(F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a struct of metadata
+(mime, width/height/duration, sha256). The Spark-side machinery —
+schema, partition sizing, Arrow batch shape, mapInPandas signatures —
+is real and tested; the actual codec calls are STUBBED behind
+`decode_stub` (the image/audio libraries are not in this container).
+Swap `_decode_one` for PIL/librosa on a real cluster.
+
+Scale notes: binary payloads dominate partition size — size
+spark.sql.files.maxPartitionBytes so a partition holds O(100) blobs,
+and never collect() them. Feature extraction is mapInPandas so each
+Arrow batch amortizes Python crossing per ~1k blobs, not per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_one(payload: bytes, mime: str) -> np.ndarray:
+    """STUB decode: a real deployment replaces this with PIL / ffmpeg /
+    librosa. Here: deterministic fake features derived from payload
+    bytes so tests are stable without codec libraries."""
+    if mime.startswith(("image/", "audio/", "video/")):
+        digest = hashlib.sha256(payload).digest()
+        return np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0
+    raise NotImplementedError(f"no decoder for mime {mime}")
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode + featurize binary payloads via mapInPandas (Arrow
+    batches). Pure plumbing demo at this layer: hashing, byte counts,
+    and the stubbed feature vector."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                _decode_one(p, m).tolist() if p is not None else None
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing — STUB raises at execution time for real
+    decode; the plan/schema path is exercised in tests with mime
+    'application/x-test' short-circuited to a no-op."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                if m == "application/x-test":
+                    out.append(p)  # no-op passthrough for plumbing tests
+                else:
+                    raise NotImplementedError(
+                        "image resize requires PIL; not available in this container"
+                    )
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_idx,
+    payload) rows; frame decode itself is stubbed to deterministic
+    slices of the payload so partition/row-explosion shape is real."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                n_frames = max(len(p) // every_n, 1)
+                for i in range(n_frames):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(bytes(p[i * every_n : (i + 1) * every_n]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=out_schema)

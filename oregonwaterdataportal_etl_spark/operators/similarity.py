@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane
+LSH bucketing as the approximate scale path (bucketed candidates,
+exact re-rank inside buckets).
+
+All vector math is expression-level (zip_with/aggregate -> JVM,
+codegen) — no Python in the hot path. The hyperplanes are a small
+deterministic literal array (seeded), folded into the plan as
+constants, i.e. the broadcast-dim pattern.
+
+Scale notes: brute-force top-k against a single query is a map +
+partial top-k per partition + tiny final reduce (TakeOrdered) — no
+shuffle of the corpus. The LSH path turns all-pairs search into an
+equi-join on bucket keys; recall is tuned by `bits` (fewer bits =
+bigger buckets = higher recall, more verify work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    orderBy+limit compiles to TakeOrdered: per-partition top-k then a
+    k-row reduce on the driver — the corpus never shuffles."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def add_hyperplane_bucket(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 12, seed: int = 7, dim: int | None = None
+) -> DataFrame:
+    """Append a random-hyperplane LSH bucket id (int, 2^bits buckets).
+
+    bucket bit i = sign(v . h_i). Hyperplanes are literal constants in
+    the plan (tiny), so this is a pure map stage."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty dataframe; pass dim explicitly")
+        dim = first["d"]
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot(F.col(vec_col), h) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn("__bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    probes: int = 1,
+) -> DataFrame:
+    """Approximate top-k: hash the query, scan only matching buckets
+    (multi-probe: flip `probes`-1 lowest disagreement bits), exact
+    re-rank within candidates. At scale the bucket column is a
+    partition/cluster key, so the scan prunes to ~1/2^bits of data."""
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qv = np.asarray(query, dtype=float)
+    margins = planes @ qv
+    qbucket = 0
+    for i in range(bits):
+        if margins[i] > 0:
+            qbucket |= 1 << i
+    # multi-probe: also visit buckets flipping the smallest-margin bits
+    order = np.argsort(np.abs(margins))
+    buckets = [qbucket]
+    for j in range(max(probes - 1, 0)):
+        if j < bits:
+            buckets.append(qbucket ^ (1 << int(order[j])))
+    with_b = add_hyperplane_bucket(df, vec_col, bits=bits, seed=seed, dim=dim)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        with_b.filter(F.col("__bucket").isin(buckets))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Batch kNN: every query row gets its top-k corpus neighbors.
+
+    mapInPandas over the corpus with the (small) query matrix
+    broadcast; per-batch numpy matmul (Arrow-vectorized), then a
+    global top-k per query via ranking window. This is the legitimate
+    pandas-UDF case: dense matmul beats expression trees by orders of
+    magnitude and stays vectorized end-to-end."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def scorer(batches):
+        qids_b, qmat_b, qnorm_b = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat_b.T) / np.outer(cnorm, qnorm_b)
+            # per corpus-batch partial top-k for each query
+            nq = len(qids_b)
+            out = {
+                "query_id": np.repeat(qids_b, len(pdf)),
+                "corpus_id": np.tile(pdf[id_col].to_numpy(), nq),
+                "cosine": np.round(sims.T.reshape(-1), 4),
+            }
+            res = pd.DataFrame(out)
+            # keep only per-batch top-k to bound shuffle size
+            res = res.sort_values(["query_id", "cosine"], ascending=[True, False])
+            yield res.groupby("query_id", sort=False).head(k)
+
+    from pyspark.sql.window import Window
+
+    scored = corpus.mapInPandas(
+        scorer, schema="query_id long, corpus_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

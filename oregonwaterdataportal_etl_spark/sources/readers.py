@@ -1,0 +1,117 @@
+"""Source readers — SURVEY.md 2.1 scans re-expressed Spark-first.
+
+The reference's HTTP fetch layers (ESRI/AWQMS/FROST) are process
+boundaries, not operators; what the engine must reproduce is the
+*shape* of each scan: projection, predicate pushdown, flattening,
+pagination-as-partitioning, schema validation. Each reader here takes
+files/DataFrames instead of URLs — on a cluster the same code runs
+over a DataSource V2 connector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalar import parse_pacific_to_utc, unit_from_header
+
+
+def read_tsv_observations(
+    spark: SparkSession,
+    path: str,
+    station_col: str = "station_nbr",
+    date_col: str = "record_date",
+    value_col: str = "value",
+    drop_null_values: bool = True,
+    tz_from_pacific: bool = False,
+) -> DataFrame:
+    """S2 — TSV time-series scan (reference: parse_oregon_tsv,
+    userCode/wrd/lib.py:56-102): header-derived unit, 3-column
+    projection, optional null-drop (P2), tz normalization (F2).
+
+    Projection + filter are expressed declaratively so Catalyst pushes
+    them into the csv scan (ReadSchema/PushedFilters)."""
+    raw = spark.read.csv(path, sep="\t", header=True)
+    cols = raw.columns
+    if len(cols) < 3:
+        raise ValueError(f"expected >=3 TSV columns, got {cols}")
+    station, date, value = cols[0], cols[1], cols[2]
+    unit = unit_from_header(F.lit(value))
+    ts = (
+        parse_pacific_to_utc(F.col(date))
+        if tz_from_pacific
+        else F.coalesce(
+            F.try_to_timestamp(F.col(date), F.lit("MM-dd-yyyy HH:mm")),
+            F.try_to_timestamp(F.col(date), F.lit("MM-dd-yyyy")),
+        )
+    )
+    out = raw.select(
+        F.col(station).alias(station_col),
+        ts.alias(date_col),
+        F.col(value).cast("double").alias(value_col),
+        unit.alias("unit"),
+    )
+    if drop_null_values:
+        out = out.filter(F.col(value_col).isNotNull())
+    return out
+
+
+def flatten_nested_results(
+    df: DataFrame, nested_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """S3 — JSON scan + flatten (reference: fetch_observations
+    flattening item['ContinuousResults'], userCode/awqms/lib.py:86-124).
+    explode() the nested array; Catalyst prunes unreferenced struct
+    fields from the scan."""
+    return df.select(*keep_cols, F.explode(F.col(nested_col)).alias("result")).select(
+        *keep_cols, "result.*"
+    )
+
+
+def paginated_union(pages: list[DataFrame]) -> DataFrame:
+    """S5/U3 — pagination-as-partitioning (reference: offset pages of
+    1000, userCode/groundwater/wells.py:287-344). In Spark, pages are
+    just input partitions; a fold of unionByName keeps lineage flat."""
+    if not pages:
+        raise ValueError("no pages")
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def validate_columns(df: DataFrame, expected: list[str]) -> DataFrame:
+    """S7/U4 — sheet-schema validation by column-set difference
+    (reference: userCode/xlsx/lib.py:22-31)."""
+    missing = set(expected) - set(df.columns)
+    if missing:
+        raise ValueError(f"missing expected columns: {sorted(missing)}")
+    return df
+
+
+def read_xlsx(spark: SparkSession, path: str, sheets: list[str] | None = None):
+    """S7 — XLSX multi-sheet scan via pandas -> Arrow -> DataFrame
+    (reference: pd.read_excel(sheet_name=None), userCode/xlsx/lib.py:
+    33-56). Gated: openpyxl may be absent in this container."""
+    try:
+        import pandas as pd
+
+        frames = pd.read_excel(path, sheet_name=None)
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "xlsx reading requires openpyxl; unavailable in this container"
+        ) from e
+    out = {}
+    for name, pdf in frames.items():
+        if sheets is None or name in sheets:
+            out[name] = spark.createDataFrame(pdf)
+    return out
+
+
+def read_binary_attachments(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S8 — binary attachment scan (reference: xlsx_files_raw,
+    userCode/xlsx/dag.py:56-76): Spark's binaryFile source gives
+    (path, modificationTime, length, content) with partition-parallel
+    fetch."""
+    return spark.read.format("binaryFile").load(path_glob)

@@ -1,0 +1,104 @@
+"""Source readers (SURVEY.md 2.1) + Structured Streaming CDC tail."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oregonwaterdataportal_etl_spark.cdc import ManifestLog, generate_changes
+from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.sources import readers
+from oregonwaterdataportal_etl_spark.streaming import (
+    start_cdc_stream,
+    windowed_event_counts,
+)
+
+TSV = (
+    "station_nbr\trecord_date\tinstantaneous_flow_cfs\n"
+    "10371500\t01-15-2024 08:30\t17.1\n"
+    "10371500\t01-16-2024\t15.2\n"
+    "10371500\t01-17-2024\t\n"
+)
+
+
+def test_read_tsv_observations(spark, tmp_path):
+    """S2 — projection, unit-from-header, null drop, format fallback
+    (reference: parse_oregon_tsv, userCode/wrd/lib.py:56-102; golden
+    first values 17.1/15.2 per test_upstream.py:258-275)."""
+    p = tmp_path / "obs.tsv"
+    p.write_text(TSV)
+    df = readers.read_tsv_observations(spark, str(p))
+    rows = df.orderBy("record_date").collect()
+    assert [r["value"] for r in rows] == [17.1, 15.2]
+    assert rows[0]["unit"] == "cfs"
+    assert rows[0]["record_date"].strftime("%H:%M") == "08:30"
+    # null kept when drop disabled (reference drop_rows_with_null_data)
+    df2 = readers.read_tsv_observations(spark, str(p), drop_null_values=False)
+    assert df2.count() == 3
+
+
+def test_flatten_nested_results(spark):
+    """S3 — explode the AWQMS ContinuousResults nesting."""
+    data = [
+        ("st1", [{"t": 1, "v": 2.0}, {"t": 2, "v": 3.0}]),
+        ("st2", [{"t": 5, "v": 7.0}]),
+    ]
+    df = spark.createDataFrame(data, "station string, ContinuousResults array<struct<t:long,v:double>>")
+    out = readers.flatten_nested_results(df, "ContinuousResults", ["station"])
+    assert out.count() == 3
+    assert set(out.columns) == {"station", "t", "v"}
+
+
+def test_paginated_union_and_validate(spark):
+    p1 = spark.createDataFrame([(1, "a")], ["id", "x"])
+    p2 = spark.createDataFrame([(2, "b")], ["id", "x"])
+    p3 = spark.createDataFrame([(3,)], ["id"])  # later page missing a col
+    out = readers.paginated_union([p1, p2, p3])
+    assert out.count() == 3 and set(out.columns) == {"id", "x"}
+    readers.validate_columns(p1, ["id", "x"])
+    with pytest.raises(ValueError, match="missing expected columns"):
+        readers.validate_columns(p3, ["id", "x"])
+
+
+def test_read_binary_attachments(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"hello")
+    (tmp_path / "b.bin").write_bytes(b"world!")
+    df = readers.read_binary_attachments(spark, str(tmp_path / "*.bin"))
+    got = {os.path.basename(r["path"]): bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.bin": b"hello", "b.bin": b"world!"}
+
+
+def test_streaming_cdc_tail(spark, tmp_path):
+    """readStream file tail -> foreachBatch MERGE; final state equals a
+    direct batch apply of the same stream."""
+    changes = generate_changes(spark, n_events=3000, n_convs=200, seed=11)
+    stream_dir = str(tmp_path / "stream")
+    changes.write.mode("overwrite").parquet(stream_dir)
+
+    t_stream = LakeTable.create(
+        str(tmp_path / "t_stream"), TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    manifests = ManifestLog(str(tmp_path / "manifests"))
+    q = start_cdc_stream(
+        spark, stream_dir, t_stream, str(tmp_path / "ckpt"), manifests, available_now=True
+    )
+    q.awaitTermination(120)
+
+    t_batch = LakeTable.create(
+        str(tmp_path / "t_batch"), TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    t_batch.merge(spark.read.parquet(stream_dir))
+
+    a = t_stream.read(spark).orderBy("conv_id", "turn_idx").collect()
+    b = t_batch.read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert a == b and len(a) > 0
+    assert manifests.all() and all(m["status"] == "committed" for m in manifests.all())
+
+
+def test_windowed_event_counts(spark):
+    changes = generate_changes(spark, n_events=2000, n_convs=100, seed=3)
+    out = windowed_event_counts(changes, window="10 minutes", watermark="1 hour")
+    rows = out.collect()
+    assert sum(r["events"] for r in rows) == 2000
+    assert all(r["window_end"] > r["window_start"] for r in rows)
