@@ -1,38 +1,627 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry(), queries(), oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One queries() entry per operator family from SURVEY.md section 2 plus
+the training-data operators (dedup / similarity / text analysis).
+Each Spark callable has a DuckDB-ANSI oracle in oracle_sql() with
+IDENTICAL output column names; non-SQL-expressible ops (MinHash LSH,
+SimHash — they depend on xxhash64) are rows-only checked.
+
+Float discipline: every float aggregate/output is rounded on BOTH
+sides so value-hash comparison is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oregonwaterdataportal_etl_spark.functions import scalar, text
+from oregonwaterdataportal_etl_spark.operators import (
+    asof,
+    dedup,
+    relational,
+    similarity,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# individual queries — (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+
+def q_tpch1_agg(spark, sf):
+    """A-family: grouped multi-aggregate (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_filter_project(spark, sf):
+    """P1/P2: projection + null-drop + predicate (pushed to scan)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("value").isNotNull() & (F.col("event_type") != "error"))
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_broadcast_lookup_join(spark, sf):
+    """J1: dim lookup via broadcast hash join, two hops up the star."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        relational.lookup_join(c, n.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey")
+        .join(F.broadcast(r.withColumnRenamed("r_regionkey", "n_regionkey")), "n_regionkey")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("customers"))
+    )
+
+
+def q_two_hop_star_join(spark, sf):
+    """J2: fact -> dim -> dim star join (xlsx two-hop analog)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("orders"))
+    )
+
+
+_VOCAB = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "acquisition"),
+]
+
+
+def q_vocab_join_default(spark, sf):
+    """J3: vocabulary mapping with coalesce-default on miss
+    ('error' is deliberately unmapped -> 'other')."""
+    ev = _t(spark, sf, "events")
+    vocab = spark.createDataFrame(_VOCAB, ["event_type", "category"])
+    return (
+        relational.vocab_join(ev, vocab, "event_type", "category", default=F.lit("other"))
+        .groupBy("event_type", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_anti_join_new_rows(spark, sf):
+    """J4/U5: anti-join — customers with no events."""
+    c = _t(spark, sf, "customer")
+    ev = _t(spark, sf, "events")
+    keys = ev.select(F.col("user_id").alias("c_custkey"))
+    return relational.new_rows_only(c.select("c_custkey", "c_name"), keys, ["c_custkey"])
+
+
+def q_interval_containment(spark, sf):
+    """J6: per-key watermark containment — events strictly newer than
+    the user's last signup."""
+    ev = _t(spark, sf, "events")
+    wm = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("wm"))
+    )
+    out = relational.newer_than_watermark(
+        ev.filter(F.col("event_type") != "signup"), wm, "user_id", "ts", "wm"
+    )
+    return out.groupBy("user_id").agg(F.count("*").alias("events_after_signup"))
+
+
+def q_lww_window(spark, sf):
+    """W1 (the CDC core): per-key last-writer-wins by monotonic id."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_cdc_lww_fold(spark, sf):
+    """Flagship: full CDC fold over the events stream read as a change
+    log — key (user_id, props.k), lsn = event_id, 'error' = delete.
+    Final state = highest-lsn row per key where that row isn't a
+    delete. Exercises F10 (JSON extract) + W1 + delete semantics."""
+    ev = _t(spark, sf, "events")
+    keyed = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    w = Window.partitionBy("user_id", "k").orderBy(F.desc("event_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "k", "event_id",
+                F.round("value", 4).alias("value"))
+    )
+
+
+def q_latest_per_key(spark, sf):
+    """W2: top-1 latest per stream ($orderby desc take-first)."""
+    ev = _t(spark, sf, "events")
+    out = relational.latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
+    return out.select("user_id", "event_id", "event_type")
+
+
+def q_argmax_dedup(spark, sf):
+    """A8/W3: keep-best-duplicate per key (argmax)."""
+    li = _t(spark, sf, "lineitem")
+    out = relational.argmax_dedup(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"), ["l_orderkey"], "l_extendedprice"
+    )
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_extendedprice", 2).alias("l_extendedprice"))
+
+
+def q_first_wins_dedup(spark, sf):
+    """A2: ordered first-occurrence dedup."""
+    ev = _t(spark, sf, "events")
+    out = relational.first_wins_dedup(ev, ["user_id"], [F.asc("ts"), F.asc("event_id")])
+    return out.select("user_id", "event_id")
+
+
+def q_time_range_interval(spark, sf):
+    """A1 + F4: per-key min/max time range as 'start/end' interval."""
+    ev = _t(spark, sf, "events")
+    rng = relational.time_range_per_key(ev, ["user_id"], "ts")
+    return rng.select(
+        "user_id",
+        scalar.interval_build("range_start", "range_end").alias("phenomenon_time"),
+    )
+
+
+def q_having_threshold(spark, sf):
+    """P4: HAVING count >= 24 stream-admission filter."""
+    ev = _t(spark, sf, "events")
+    return relational.having_count_at_least(ev, ["user_id", "event_type"], 24)
+
+
+def q_union_distinct(spark, sf):
+    """U2/A3: set-union of two source scans."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return relational.union_distinct(a, b)
+
+
+def q_unpivot_measures(spark, sf):
+    """P3: unpivot (stack) measure columns then aggregate."""
+    li = _t(spark, sf, "lineitem")
+    long = relational.unpivot_flags(
+        li, ["l_orderkey"], ["l_quantity", "l_discount", "l_tax"],
+        name_col="measure", value_col="value",
+    )
+    return long.groupBy("measure").agg(F.round(F.sum("value"), 2).alias("total"))
+
+
+def q_topk_orders(spark, sf):
+    """O1: global top-k by sort + limit (TakeOrdered)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q_rollup_revenue(spark, sf):
+    """Grouping-sets extension: rollup over region/nation."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return joined.rollup("n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+def q_deterministic_hash(spark, sf):
+    """F1: reference-exact md5 deterministic id (k=9)."""
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey", scalar.deterministic_hash("c_name", 9).alias("det_id"))
+
+
+def q_month_histogram(spark, sf):
+    """F2/F3-family: event-time bucketing by calendar month."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_hourly_windows(spark, sf):
+    """T-family: event-time tumbling windows (batch == streaming plan)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+def q_sessionization(spark, sf):
+    """Session windows via lag + cumulative gap count per user."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(F.when(gap > 1800, 1).otherwise(0).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_id", F.coalesce(sess, F.lit(0)))
+        .groupBy("user_id")
+        .agg((F.max("session_id") + 1).alias("sessions"),
+             F.count("*").alias("events"))
+    )
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each click/view joined to the user's latest
+    purchase value at or before its timestamp."""
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    out = asof.asof_join(left, right, ["user_id"], "ts", "ts")
+    return out.select("user_id", "event_id", "purchase_value")
+
+
+def q_token_stats(spark, sf):
+    """Text analysis: token counting over documents."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def q_stopword_occurrence(spark, sf):
+    """Text quality signal: literal-substring occurrence arithmetic
+    (identical formula on both engines)."""
+    d = _t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return d.select(
+        "doc_id",
+        text.occurrence_count(padded, " the ").alias("the_count"),
+        text.occurrence_count(padded, " scan ").alias("scan_count"),
+    )
+
+
+def q_exact_dedup_docs(spark, sf):
+    """Exact dedup: canonical (min) doc id per identical text."""
+    d = _t(spark, sf, "documents")
+    return dedup.exact_dedup(d).select("doc_id")
+
+
+def q_md5_fingerprint(spark, sf):
+    """Document fingerprinting (cross-engine md5-prefix variant)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.md5_prefix_fingerprint("text").alias("fp"))
+
+
+def q_embedding_topk(spark, sf):
+    """ANN baseline: brute-force cosine top-10 around vec_id=0."""
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return similarity.brute_force_topk(dbl, [float(x) for x in qvec], k=10).select(
+        "vec_id", F.round("cosine", 3).alias("cosine")
+    )
+
+
+def q_minhash_neardup(spark, sf):
+    """MinHash LSH near-dup pairs (rows-only check: xxhash64-based)."""
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, jaccard_threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs (rows-only check: xxhash64-based)."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_dedup_pairs(d, max_hamming=3)
+
+
+def q_lsh_topk(spark, sf):
+    """ANN scale path: hyperplane-LSH bucketed top-k (rows-only: recall
+    is approximate by design)."""
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.lsh_topk(e, [float(x) for x in qvec], k=10, bits=6, probes=3)
+
+
+# --------------------------------------------------------------------------
+# driver surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC LWW fold over the sf0.001 events change log."""
+    return q_cdc_lww_fold(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch1_agg": q_tpch1_agg,
+        "filter_project": q_filter_project,
+        "broadcast_lookup_join": q_broadcast_lookup_join,
+        "two_hop_star_join": q_two_hop_star_join,
+        "vocab_join_default": q_vocab_join_default,
+        "anti_join_new_rows": q_anti_join_new_rows,
+        "interval_containment": q_interval_containment,
+        "lww_window": q_lww_window,
+        "cdc_lww_fold": q_cdc_lww_fold,
+        "latest_per_key": q_latest_per_key,
+        "argmax_dedup": q_argmax_dedup,
+        "first_wins_dedup": q_first_wins_dedup,
+        "time_range_interval": q_time_range_interval,
+        "having_threshold": q_having_threshold,
+        "union_distinct": q_union_distinct,
+        "unpivot_measures": q_unpivot_measures,
+        "topk_orders": q_topk_orders,
+        "rollup_revenue": q_rollup_revenue,
+        "deterministic_hash": q_deterministic_hash,
+        "month_histogram": q_month_histogram,
+        "hourly_windows": q_hourly_windows,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
+        "token_stats": q_token_stats,
+        "stopword_occurrence": q_stopword_occurrence,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "md5_fingerprint": q_md5_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    limb = "cast(cast(concat('0x', substr(md5({c}),{o},8)) as bigint) as hugeint)"
+    md5_mod9 = (
+        "cast(((((" + limb.format(c="{c}", o=1) + " % 1000000000) * 4294967296 "
+        "+ " + limb.format(c="{c}", o=9) + ") % 1000000000 * 4294967296 "
+        "+ " + limb.format(c="{c}", o=17) + ") % 1000000000 * 4294967296 "
+        "+ " + limb.format(c="{c}", o=25) + ") % 1000000000 as bigint)"
+    )
+    det = md5_mod9.format(c="c_name")
+    vocab_values = ", ".join(f"('{k}', '{v}')" for k, v in _VOCAB)
+    return {
+        "tpch1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT event_id, user_id, round(value, 4) AS value
+            FROM events WHERE value IS NOT NULL AND event_type != 'error'
+        """,
+        "broadcast_lookup_join": """
+            SELECT r_name, count(*) AS customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "two_hop_star_join": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "vocab_join_default": f"""
+            SELECT event_type, coalesce(category, 'other') AS category,
+                   count(*) AS cnt
+            FROM events
+            LEFT JOIN (VALUES {vocab_values}) AS vocab(vtype, category)
+              ON event_type = vtype
+            GROUP BY event_type, coalesce(category, 'other')
+        """,
+        "anti_join_new_rows": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        """,
+        "interval_containment": """
+            WITH wm AS (
+              SELECT user_id, max(ts) AS wm FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT e.user_id, count(*) AS events_after_signup
+            FROM events e LEFT JOIN wm ON e.user_id = wm.user_id
+            WHERE e.event_type != 'signup' AND (wm.wm IS NULL OR e.ts > wm.wm)
+            GROUP BY e.user_id
+        """,
+        "lww_window": """
+            SELECT user_id, event_type, event_id, round(value, 4) AS value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "cdc_lww_fold": """
+            SELECT user_id, k, event_id, round(value, 4) AS value
+            FROM (SELECT user_id,
+                         cast(json_extract(props, '$.k') AS int) AS k,
+                         event_id, value, event_type,
+                         row_number() OVER
+                           (PARTITION BY user_id, cast(json_extract(props, '$.k') AS int)
+                            ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type != 'error'
+        """,
+        "latest_per_key": """
+            SELECT user_id, event_id, event_type
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "argmax_dedup": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS l_extendedprice
+            FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                         row_number() OVER
+                           (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) rn
+                  FROM lineitem)
+            WHERE rn = 1
+        """,
+        "first_wins_dedup": """
+            SELECT user_id, event_id
+            FROM (SELECT user_id, event_id, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "time_range_interval": """
+            SELECT user_id,
+                   concat(strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ'), '/',
+                          strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ')) AS phenomenon_time
+            FROM events GROUP BY user_id
+        """,
+        "having_threshold": """
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY user_id, event_type HAVING count(*) >= 24
+        """,
+        "union_distinct": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "unpivot_measures": """
+            SELECT measure, round(sum(value), 2) AS total FROM (
+              SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY measure
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rollup_revenue": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name)
+        """,
+        "deterministic_hash": f"""
+            SELECT c_custkey,
+                   CASE WHEN {det} = 0 THEN 1 ELSE {det} END AS det_id
+            FROM customer
+        """,
+        "month_histogram": """
+            SELECT strftime(ts, '%Y-%m') AS month, count(*) AS events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY strftime(ts, '%Y-%m')
+        """,
+        "hourly_windows": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS events
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH gaps AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps
+            )
+            SELECT user_id, max(session_id) + 1 AS sessions, count(*) AS events
+            FROM sess GROUP BY user_id
+        """,
+        "asof_join": """
+            SELECT l.user_id, l.event_id,
+                   (SELECT round(r.value, 4) FROM events r
+                    WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+                      AND r.ts <= l.ts
+                    ORDER BY r.ts DESC LIMIT 1) AS purchase_value
+            FROM events l WHERE l.event_type IN ('click', 'view')
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS tokens,
+                   length(text) AS chars
+            FROM documents
+        """,
+        "stopword_occurrence": """
+            SELECT doc_id,
+              cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) AS the_count,
+              cast((length(p) - length(replace(p, ' scan ', ''))) / 6 AS int) AS scan_count
+            FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents)
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY trim(text)
+        """,
+        "md5_fingerprint": """
+            SELECT doc_id,
+                   cast(concat('0x', substr(md5(text), 1, 15)) AS bigint) AS fp
+            FROM documents
+        """,
+        "embedding_topk": """
+            SELECT e.vec_id,
+                   round(round(list_cosine_similarity(
+                     list_transform(e.embedding, x -> cast(x AS double)),
+                     list_transform(q.embedding, x -> cast(x AS double))), 4), 3) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY round(list_cosine_similarity(
+                     list_transform(e.embedding, x -> cast(x AS double)),
+                     list_transform(q.embedding, x -> cast(x AS double))), 4) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
+        # minhash_neardup / simhash_neardup / lsh_topk: rows-only
+        # (xxhash64-seeded signatures are not expressible in DuckDB SQL)
+    }

@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's
+own CDC-replay throughput benchmark (synthetic change stream ->
+LakeTable MERGE), and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "cdc_events_per_sec": ...}
+
+Scaling protocol (BENCH.md): SPARK_GRAFT_CPUS=8 vs 32 on the same
+input gives the two-cluster-size datapoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from oregonwaterdataportal_etl_spark.session import get_spark
+
+HEADLINE = [
+    "tpch1_agg",
+    "filter_project",
+    "two_hop_star_join",
+    "lww_window",
+    "cdc_lww_fold",
+    "argmax_dedup",
+    "month_histogram",
+    "sessionization",
+    "asof_join",
+    "having_threshold",
+    "token_stats",
+    "exact_dedup_docs",
+    "md5_fingerprint",
+    "embedding_topk",
+    "minhash_neardup",
+]
+
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+CDC_CONVS = CDC_EVENTS // 40
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def bench_cdc(spark, workdir: str) -> dict:
+    """CDC replay: distributed synthetic stream -> parquet -> MERGE.
+    Generation+write is setup; the timed section is the end-to-end
+    apply (read, LWW rank, salted write, commit)."""
+    from oregonwaterdataportal_etl_spark.cdc import generate_changes
+    from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+    stream_dir = os.path.join(workdir, "stream")
+    nparts = spark.sparkContext.defaultParallelism
+    generate_changes(
+        spark, CDC_EVENTS, CDC_CONVS, seed=42, zipf_a=1.1, partitions=nparts
+    ).write.mode("overwrite").parquet(stream_dir)
+
+    # JIT/codegen warmup on a throwaway table so the timed merge
+    # measures steady-state throughput, not first-plan compilation.
+    # Warm from the written stream, NOT the python generator: resident
+    # mapInPandas workers measurably slow the subsequent JVM-only merge.
+    warm = LakeTable.create(
+        os.path.join(workdir, "warm"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    warm.merge(spark.read.parquet(stream_dir).limit(50_000))
+
+    table = LakeTable.create(
+        os.path.join(workdir, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=max(nparts, 16),
+    )
+    changes = spark.read.parquet(stream_dir)
+    t0 = time.perf_counter()
+    result = table.merge(changes)
+    elapsed = time.perf_counter() - t0
+    return {
+        "cdc_apply_sec": round(elapsed, 3),
+        "cdc_events": CDC_EVENTS,
+        "cdc_events_per_sec": round(CDC_EVENTS / elapsed, 1),
+        "cdc_rows_final": result.rows_inserted,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name=f"bench-local[{cpus}]", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    # one warmup to amortize JVM/codegen startup out of per-query times
+    time_query(spark, qs["filter_project"], sf_dir)
+    for name in HEADLINE:
+        times[name] = round(time_query(spark, qs[name], sf_dir), 3)
+
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cdc = bench_cdc(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(times.values()) + cdc["cdc_apply_sec"], 3)
+    out = {
+        "metric": "headline_queries_plus_cdc_apply",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(cpus),
+        **cdc,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,8 @@ from pyspark.sql.window import Window
 
 LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
 _BUCKET_COL = "_b"
+_ACTION_COL = "_action"  # per-row merge outcome, written for metrics
+_DEL_COL = "_del"  # partition dir quarantining winning deletes
 
 
 @dataclass
@@ -195,25 +197,32 @@ class LakeTable:
         return t
 
     # ---------------------------------------------------------- write
-    def _bucket_expr(self, key_col: str):
-        n = self.snapshot()["num_buckets"]
-        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
+    def _bucket_expr(self):
+        """Bucket id = pmod(hash(key_cols), n) with Spark's own Murmur3
+        F.hash — DELIBERATELY identical to Spark's internal
+        HashPartitioning. Consequence: after ``repartition(n, *keys)``
+        every task holds exactly one bucket, so the merge's window
+        shuffle and the bucketed file layout share ONE exchange (the
+        moral equivalent of Iceberg storage-partitioned writes)."""
+        snap = self.snapshot()
+        keys = [F.col(c) for c in snap["key_cols"]]
+        return F.pmod(F.hash(*keys), F.lit(snap["num_buckets"])).cast("int")
 
-    def _write_buckets(self, df: DataFrame, salt: int = 8) -> dict[str, list[str]]:
+    def _write_buckets(self, df: DataFrame, pre_partitioned: bool = False) -> dict[str, list[str]]:
         """Write df (stored schema + _b) into per-bucket parquet files.
 
-        The repartition is salted over the full key so a hot bucket
-        (hot conversation) is written by up to ``salt`` parallel tasks.
-        """
+        pre_partitioned=True: df is already hash-partitioned on the key
+        columns into num_buckets partitions (each task = one bucket) —
+        write directly, no extra shuffle. Otherwise repartition first.
+        Skew note: buckets hash the FULL key (conv_id AND turn_idx), so
+        a hot conversation spreads across buckets by construction —
+        this replaces explicit salting."""
         snap = self.snapshot()
         key_cols = snap["key_cols"]
         out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
-        salted = df.repartition(
-            max(df.sparkSession.sparkContext.defaultParallelism, 1),
-            F.col(_BUCKET_COL),
-            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt)),
-        )
-        salted.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+        if not pre_partitioned:
+            df = df.repartition(snap["num_buckets"], *[F.col(c) for c in key_cols])
+        df.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith(f"{_BUCKET_COL}="):
@@ -230,11 +239,10 @@ class LakeTable:
         """Full-refresh load (reference entry point C: the xlsx batch
         load, userCode/xlsx/main.py:19-28 — no watermark, replace all)."""
         snap = self.snapshot()
-        key = snap["key_cols"][0]
         out = df
         if LSN_COL not in df.columns:
             out = out.withColumn(LSN_COL, F.lit(lsn).cast("long"))
-        out = out.withColumn(_BUCKET_COL, self._bucket_expr(key))
+        out = out.withColumn(_BUCKET_COL, self._bucket_expr())
         files = self._write_buckets(out)
         new_version = snap["version"] + 1
         self._commit(
@@ -266,7 +274,7 @@ class LakeTable:
         cur_names = {f.name: f for f in current.fields}
         added = []
         for f in incoming.fields:
-            if f.name in (LSN_COL, _BUCKET_COL):
+            if f.name in (LSN_COL, _BUCKET_COL, _ACTION_COL, _DEL_COL):
                 continue
             if f.name in cur_names:
                 if f.dataType != cur_names[f.name].dataType:
@@ -303,7 +311,6 @@ class LakeTable:
         spark = updates.sparkSession
         snap = self.snapshot()
         key_cols: list[str] = snap["key_cols"]
-        bucket_key = key_cols[0]
 
         # -- schema evolution (additive) ---------------------------
         payload_fields = T.StructType(
@@ -313,12 +320,17 @@ class LakeTable:
         evolved_names = [f.name for f in evolved.fields]
 
         # -- partition pruning: which buckets does the batch touch? -
+        # One cheap pass over the batch (bucket ids only). Skipped when
+        # the table is empty — nothing to prune, save the scan.
         n_buckets = snap["num_buckets"]
-        bexpr = F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
-        upd = updates.withColumn(_BUCKET_COL, bexpr)
-        touched = sorted(
-            r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
-        )
+        bexpr = self._bucket_expr()
+        upd = updates
+        if snap["files"]:
+            touched = sorted(
+                r[0] for r in upd.select(bexpr.alias("b")).distinct().collect()
+            )
+        else:
+            touched = list(range(n_buckets))
 
         base = self._read_internal(spark, buckets=touched)
         # project base to the evolved schema (nulls for new columns)
@@ -349,11 +361,20 @@ class LakeTable:
             F.lit(1).alias("__src"),
         )
 
-        # -- the one shuffle: union + ranking window ----------------
-        # row_number over (key) ordered by lsn desc, base-first on tie
-        # (a replayed event with the same LSN is a no-op). This is the
-        # W1 operator: userCode/awqms/dag.py:155-187.
-        unioned = base_tagged.unionByName(upd_tagged)
+        # -- THE one shuffle ----------------------------------------
+        # repartition(num_buckets, keys) uses Spark's HashPartitioning,
+        # which is bit-identical to _bucket_expr(). So this single
+        # exchange (a) satisfies the ranking window's required
+        # clustering — Catalyst inserts NO second exchange — and
+        # (b) leaves every task holding exactly one storage bucket, so
+        # the bucketed write below needs no shuffle either. This is
+        # the storage-partitioned-write pattern; the window itself is
+        # the W1 LWW operator (userCode/awqms/dag.py:155-187), ordered
+        # by lsn desc with base-first tie-break (replayed same-LSN
+        # events are no-ops).
+        unioned = base_tagged.unionByName(upd_tagged).repartition(
+            n_buckets, *[F.col(c) for c in key_cols]
+        )
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc("__lsn"), F.asc("__src")
         )
@@ -363,42 +384,62 @@ class LakeTable:
             F.min("__src").over(Window.partitionBy(*key_cols)).alias("__all_chg"),
         )
         winners = ranked.filter(F.col("__rn") == 1)
-        winners = winners.persist()
-        try:
-            # -- metrics (A7 analog) --------------------------------
-            # has_base := not all rows for the key are changes
-            action = (
-                F.when(F.col("__src") == 0, F.lit("noop"))  # base won
-                .when(
-                    (F.col("__op") == "delete") & (F.col("__all_chg") == 0),
-                    F.lit("delete"),
-                )
-                .when(F.col("__op") == "delete", F.lit("drop_insert_delete"))
-                .when(F.col("__all_chg") == 0, F.lit("update"))
-                .otherwise(F.lit("insert"))
+
+        # -- single-pass write + metrics ----------------------------
+        # ONE Spark job writes everything: surviving rows land in
+        # _del=false, winning deletes in a quarantined _del=true dir
+        # (never referenced by the snapshot). Each row carries its
+        # merge _action; metrics are then a cheap column-pruned scan
+        # of the written files — no persist(), no second computation
+        # of the shuffle. (Iceberg analog: MERGE commit metrics.)
+        action = (
+            F.when(F.col("__src") == 0, F.lit("noop"))  # base won
+            .when(
+                (F.col("__op") == "delete") & (F.col("__all_chg") == 0),
+                F.lit("delete"),
             )
+            .when(F.col("__op") == "delete", F.lit("drop_insert_delete"))
+            .when(F.col("__all_chg") == 0, F.lit("update"))
+            .otherwise(F.lit("insert"))
+        )
+        out = winners.select(
+            *[F.col(c) for c in evolved_names],
+            F.col("__lsn").alias(LSN_COL),
+            action.alias(_ACTION_COL),
+            bexpr.alias(_BUCKET_COL),
+            (F.col("__op") == "delete").alias(_DEL_COL),
+        )
+        out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
+        # rows are already clustered one-bucket-per-task by the
+        # repartition above — no shuffle in this write
+        out.write.partitionBy(_BUCKET_COL, _DEL_COL).mode("overwrite").parquet(out_dir)
+
+        new_files: dict[str, list[str]] = {}
+        all_files: list[str] = []
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = entry.split("=")[1]
+            for sub in os.listdir(os.path.join(out_dir, entry)):
+                subdir = os.path.join(out_dir, entry, sub)
+                flist = [
+                    os.path.join(subdir, f)
+                    for f in os.listdir(subdir)
+                    if f.endswith(".parquet")
+                ]
+                all_files.extend(flist)
+                if sub == f"{_DEL_COL}=false":
+                    new_files[b] = sorted(new_files.get(b, []) + flist)
+        part_counts = {int(b): len(fl) for b, fl in new_files.items()}
+        counts = {}
+        if all_files:
             counts = {
                 r["a"]: r["c"]
-                for r in winners.select(action.alias("a"))
-                .groupBy("a")
+                for r in spark.read.parquet(*all_files)
+                .groupBy(F.col(_ACTION_COL).alias("a"))
                 .agg(F.count("*").alias("c"))
                 .collect()
             }
-            out = winners.filter(F.col("__op") != "delete").select(
-                *[F.col(c) for c in evolved_names],
-                F.col("__lsn").alias(LSN_COL),
-            )
-            out = out.withColumn(
-                _BUCKET_COL,
-                F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),
-            )
-            # per-write-partition row counts (lineage metric)
-            part_counts = {}
-            new_files = self._write_buckets(out, salt=salt)
-            for b, flist in new_files.items():
-                part_counts[int(b)] = len(flist)
-        finally:
-            winners.unpersist()
 
         # carry untouched buckets forward (copy-on-write pruning)
         files = dict(snap["files"])

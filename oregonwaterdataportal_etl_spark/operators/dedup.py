@@ -45,18 +45,23 @@ def minhash_signatures(
     seeded hash functions, min over shingle hashes. Expression-only:
     transform(hashes, h -> array_min(transform(shingles, s ->
     xxhash64(s, seed=h))))."""
-    sh = shingles(text_col, k=k).alias("__sh")
+    # Hash every shingle to a long ONCE (the expensive string hash),
+    # then derive the num_hashes families by re-hashing that LONG with
+    # a per-family seed — integer-width xxhash64, ~30x cheaper than
+    # re-hashing the string per family (and ANSI-safe: no overflow).
+    def family(i):
+        return lambda h: F.xxhash64(h, F.lit(i))
 
-    def hasher(seed):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
+    out = df.withColumn(
+        "__h", F.transform(shingles(text_col, k=k), lambda s: F.xxhash64(s))
+    )
     sigs = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh"), hasher(i)))
+            F.array_min(F.transform(F.col("__h"), family(i)))
             for i in range(num_hashes)
         ]
     )
-    return df.withColumn("__sh", sh).withColumn("minhash", sigs).drop("__sh")
+    return out.withColumn("minhash", sigs).drop("__h")
 
 
 def minhash_lsh_pairs(
@@ -74,51 +79,63 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, k)
-    sig = sig.select(id_col, "minhash")
-    # band key = hash of the band's signature slice
-    banded = sig.select(
-        id_col,
-        "minhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice("minhash", i * rows_per_band + 1, rows_per_band),
-                        F.lit(i),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    a = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col("minhash").alias("__sig_a"),
-    )
-    b = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col("minhash").alias("__sig_b"),
-    )
-    pairs = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # estimated jaccard = fraction of agreeing signature positions
-    est = F.size(
-        F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v)
-    ) / F.size("__sig_a")
-    return (
-        pairs.withColumn("est_jaccard", F.round(est, 4))
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    src = df.select(id_col, text_col)
+    # shingling+hashing is CPU-heavy per doc: if the source has fewer
+    # partitions than cores (small-file corpora), fan out first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    sig = minhash_signatures(src, text_col, num_hashes, k)
+    # signatures are computed once and reused on both sides of two
+    # joins — persist to avoid re-shingling the corpus three times
+    sig = sig.select(id_col, "minhash").persist()
+    try:
+        # band key = hash of the band's signature slice; candidate
+        # generation shuffles ONLY (band, bucket, id) — 24 bytes/row —
+        # never the signature arrays
+        banded = sig.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.slice("minhash", i * rows_per_band + 1, rows_per_band),
+                            F.lit(i),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+        b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+        pairs = (
+            a.join(b, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # attach signatures to the (much smaller) deduped pair set
+        pairs = pairs.join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__sig_a")),
+            on="id_a",
+        ).join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__sig_b")),
+            on="id_b",
+        )
+        # estimated jaccard = fraction of agreeing signature positions
+        est = F.size(
+            F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v)
+        ) / F.size("__sig_a")
+        out = (
+            pairs.withColumn("est_jaccard", F.round(est, 4))
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+        out = out.localCheckpoint()  # materialize before unpersisting sig
+    finally:
+        sig.unpersist()
+    return out
 
 
 def simhash64(col: Column | str, k: int = 5) -> Column:
