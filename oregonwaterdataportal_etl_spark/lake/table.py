@@ -56,6 +56,7 @@ LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
 _BUCKET_COL = "_b"
 _ACTION_COL = "_action"  # per-row merge outcome, written for metrics
 _DEL_COL = "_del"  # partition dir quarantining winning deletes
+_OP_COL = "_op"  # op column persisted in merge-on-read delta files
 
 
 @dataclass
@@ -68,6 +69,7 @@ class MergeResult:
     rows_updated: int = 0
     rows_deleted: int = 0
     rows_noop: int = 0
+    rows_delta: int = 0  # merge-on-read: deduped events appended
     touched_buckets: list[int] = field(default_factory=list)
     partition_counts: dict[int, int] = field(default_factory=dict)
 
@@ -78,6 +80,7 @@ class MergeResult:
             "rows_updated": self.rows_updated,
             "rows_deleted": self.rows_deleted,
             "rows_noop": self.rows_noop,
+            "rows_delta": self.rows_delta,
             "touched_buckets": self.touched_buckets,
             "partition_counts": {str(k): v for k, v in self.partition_counts.items()},
         }
@@ -146,9 +149,69 @@ class LakeTable:
         """Read the table at a snapshot (time travel). Missing columns
         in old files are filled with nulls (additive schema evolution —
         mirrors the reference's extra='allow' carry-through,
-        userCode/groundwater/wells.py:30)."""
-        df = self._read_internal(spark, version)
-        return df.drop(LSN_COL)
+        userCode/groundwater/wells.py:30).
+
+        If the snapshot carries merge-on-read deltas, they are resolved
+        here (base LWW-merged with delta events, delete tombstones
+        applied) — the Hudi/Iceberg-v2 MOR read path."""
+        snap = self.snapshot(version)
+        base = self._read_internal(spark, version)
+        deltas = self._read_deltas(spark, snap)
+        if deltas is None:
+            return base.drop(LSN_COL)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in schema.fields]
+        base_tagged = base.select(
+            *names,
+            F.col(LSN_COL).alias("__lsn"),
+            F.lit("base").alias("__op"),
+            F.lit(0).alias("__src"),
+        )
+        upd_tagged = deltas.select(
+            *names,
+            F.col(LSN_COL).alias("__lsn"),
+            F.col(_OP_COL).alias("__op"),
+            F.lit(1).alias("__src"),
+        )
+        winners = self._resolve(base_tagged, upd_tagged, snap["key_cols"],
+                                snap["num_buckets"])
+        return winners.filter(F.col("__op") != "delete").select(*names)
+
+    def _read_deltas(self, spark: SparkSession, snap: dict,
+                     buckets: list[int] | None = None) -> DataFrame | None:
+        """Read merge-on-read delta files (payload + _lsn + _op)."""
+        dfiles: list[str] = []
+        for b, flist in snap.get("deltas", {}).items():
+            if buckets is None or int(b) in buckets:
+                dfiles.extend(flist)
+        if not dfiles:
+            return None
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        stored = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(_OP_COL, T.StringType(), True),
+            ]
+        )
+        return spark.read.schema(stored).parquet(*dfiles)
+
+    def _resolve(self, base_tagged: DataFrame, upd_tagged: DataFrame,
+                 key_cols: list[str], n_buckets: int) -> DataFrame:
+        """Shared LWW resolution: union base+updates, ONE repartition
+        on the key columns (satisfies both the ranking window and the
+        bucket layout — see _bucket_expr), rank by lsn desc with
+        base-first tie-break, keep winners. Adds __rn/__all_chg."""
+        unioned = base_tagged.unionByName(upd_tagged).repartition(
+            n_buckets, *[F.col(c) for c in key_cols]
+        )
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("__lsn"), F.asc("__src"))
+        ranked = unioned.select(
+            "*",
+            F.row_number().over(w).alias("__rn"),
+            F.min("__src").over(Window.partitionBy(*key_cols)).alias("__all_chg"),
+        )
+        return ranked.filter(F.col("__rn") == 1)
 
     def _read_internal(
         self,
@@ -274,7 +337,7 @@ class LakeTable:
         cur_names = {f.name: f for f in current.fields}
         added = []
         for f in incoming.fields:
-            if f.name in (LSN_COL, _BUCKET_COL, _ACTION_COL, _DEL_COL):
+            if f.name in (LSN_COL, _BUCKET_COL, _ACTION_COL, _DEL_COL, _OP_COL):
                 continue
             if f.name in cur_names:
                 if f.dataType != cur_names[f.name].dataType:
@@ -293,6 +356,7 @@ class LakeTable:
         updates: DataFrame,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        mode: str = "cow",
         salt: int = 8,
     ) -> MergeResult:
         """Apply a change batch with LWW-by-LSN semantics.
@@ -307,6 +371,13 @@ class LakeTable:
         row participates with its stored ``_lsn`` so replayed or
         out-of-order events with lower LSN are no-ops; a winning
         delete removes the row.
+
+        mode="cow" (default): copy-on-write — resolve against the base
+        now, rewrite touched buckets. Read-optimized.
+        mode="mor": merge-on-read — dedup the batch and append it as
+        per-bucket delta files (delete tombstones included); reads and
+        compact() resolve. Write-optimized: apply cost is independent
+        of table size (the Hudi-MOR / Iceberg-v2-deletes pattern).
         """
         spark = updates.sparkSession
         snap = self.snapshot()
@@ -361,9 +432,40 @@ class LakeTable:
             F.lit(1).alias("__src"),
         )
 
+        # -- merge-on-read fast path --------------------------------
+        # Apply cost independent of table size: dedup the batch alone
+        # (one shuffle of the BATCH, no base read), append per-bucket
+        # delta files with op tombstones; reads/compaction resolve.
+        if mode == "mor":
+            return self._merge_mor(
+                spark, snap, upd_tagged, evolved, touched, bexpr
+            )
+
+        # existing MOR deltas for the touched buckets fold into this
+        # copy-on-write merge (they are just more updates); untouched
+        # buckets keep their deltas.
+        existing_deltas = self._read_deltas(spark, snap, buckets=touched)
+        if existing_deltas is not None:
+            delta_sel = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in existing_deltas.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in evolved.fields
+            ]
+            upd_tagged = upd_tagged.unionByName(
+                existing_deltas.select(
+                    *delta_sel,
+                    F.col(LSN_COL).alias("__lsn"),
+                    F.col(_OP_COL).alias("__op"),
+                    F.lit(1).alias("__src"),
+                )
+            )
+
         # -- THE one shuffle ----------------------------------------
-        # repartition(num_buckets, keys) uses Spark's HashPartitioning,
-        # which is bit-identical to _bucket_expr(). So this single
+        # repartition(num_buckets, keys) inside _resolve uses Spark's
+        # HashPartitioning, bit-identical to _bucket_expr(). The single
         # exchange (a) satisfies the ranking window's required
         # clustering — Catalyst inserts NO second exchange — and
         # (b) leaves every task holding exactly one storage bucket, so
@@ -372,18 +474,7 @@ class LakeTable:
         # the W1 LWW operator (userCode/awqms/dag.py:155-187), ordered
         # by lsn desc with base-first tie-break (replayed same-LSN
         # events are no-ops).
-        unioned = base_tagged.unionByName(upd_tagged).repartition(
-            n_buckets, *[F.col(c) for c in key_cols]
-        )
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.desc("__lsn"), F.asc("__src")
-        )
-        ranked = unioned.select(
-            "*",
-            F.row_number().over(w).alias("__rn"),
-            F.min("__src").over(Window.partitionBy(*key_cols)).alias("__all_chg"),
-        )
-        winners = ranked.filter(F.col("__rn") == 1)
+        winners = self._resolve(base_tagged, upd_tagged, key_cols, n_buckets)
 
         # -- single-pass write + metrics ----------------------------
         # ONE Spark job writes everything: surviving rows land in
@@ -441,10 +532,13 @@ class LakeTable:
                 .collect()
             }
 
-        # carry untouched buckets forward (copy-on-write pruning)
+        # carry untouched buckets forward (copy-on-write pruning);
+        # deltas for touched buckets were folded in, so clear them
         files = dict(snap["files"])
+        deltas = dict(snap.get("deltas", {}))
         for b in touched:
             files.pop(str(b), None)
+            deltas.pop(str(b), None)
         for b, flist in new_files.items():
             files[b] = flist
 
@@ -466,7 +560,150 @@ class LakeTable:
                 "key_cols": key_cols,
                 "num_buckets": n_buckets,
                 "files": files,
+                "deltas": deltas,
                 "summary": {"operation": "merge", **result.as_dict()},
             }
         )
         return result
+
+    def _merge_mor(self, spark, snap, upd_tagged, evolved, touched, bexpr) -> MergeResult:
+        """Append path: within-batch LWW dedup, then per-bucket delta
+        files carrying (_lsn, _op). No base read, no base rewrite."""
+        key_cols = snap["key_cols"]
+        n_buckets = snap["num_buckets"]
+        empty = spark.createDataFrame([], upd_tagged.schema)
+        winners = self._resolve(empty, upd_tagged, key_cols, n_buckets)
+        out = winners.select(
+            *[F.col(f.name) for f in evolved.fields],
+            F.col("__lsn").alias(LSN_COL),
+            F.col("__op").alias(_OP_COL),
+            bexpr.alias(_BUCKET_COL),
+        )
+        out_dir = os.path.join(self.data_dir, f"d-{uuid.uuid4().hex}")
+        out.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+
+        new_delta: dict[str, list[str]] = {}
+        total = 0
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = entry.split("=")[1]
+            bdir = os.path.join(out_dir, entry)
+            new_delta[b] = [
+                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            ]
+        if new_delta:
+            allf = [f for fl in new_delta.values() for f in fl]
+            total = spark.read.parquet(*allf).count()
+
+        deltas = dict(snap.get("deltas", {}))
+        for b, fl in new_delta.items():
+            deltas[b] = deltas.get(b, []) + fl
+        new_version = snap["version"] + 1
+        result = MergeResult(
+            version=new_version,
+            rows_delta=total,
+            touched_buckets=sorted(int(b) for b in new_delta),
+            partition_counts={int(b): len(fl) for b, fl in new_delta.items()},
+        )
+        self._commit(
+            {
+                "version": new_version,
+                "parent": snap["version"],
+                "schema": json.dumps(evolved.jsonValue()),
+                "key_cols": key_cols,
+                "num_buckets": n_buckets,
+                "files": dict(snap["files"]),
+                "deltas": deltas,
+                "summary": {"operation": "merge-mor", **result.as_dict()},
+            }
+        )
+        return result
+
+    # ---------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1) -> int:
+        """Bin-pack small files: rewrite every bucket that has more
+        than target_files_per_bucket files into fewer, larger files.
+        Incremental merges accrete one file per (batch, bucket); at
+        10^10-event scale compaction bounds read amplification the
+        same way Iceberg's rewrite_data_files does. Metadata-only for
+        already-compact buckets (their file refs carry forward).
+
+        Merge-on-read deltas are folded into the base first (the MOR
+        compaction step): replaying the delta rows through the cow
+        merge resolves LWW + tombstones and clears the delta list."""
+        snap = self.snapshot()
+        if snap.get("deltas"):
+            deltas_df = self._read_deltas(spark, snap)
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            updates = deltas_df.select(
+                *[f.name for f in schema.fields],
+                F.col(LSN_COL).alias("lsn"),
+                F.col(_OP_COL).alias("op"),
+            )
+            self.merge(updates, mode="cow")
+            snap = self.snapshot()
+        to_rewrite = {
+            b: fl for b, fl in snap["files"].items()
+            if len(fl) > target_files_per_bucket
+        }
+        if not to_rewrite:
+            return snap["version"]
+        stored = self._stored_schema()
+        all_small = [f for fl in to_rewrite.values() for f in fl]
+        df = spark.read.schema(stored).parquet(*all_small)
+        out = df.withColumn(_BUCKET_COL, self._bucket_expr())
+        # one task per bucket: coalesce within the bucket, no global shuffle
+        new_files = self._write_buckets(out)
+        files = dict(snap["files"])
+        for b in to_rewrite:
+            files.pop(b, None)
+        for b, fl in new_files.items():
+            files[b] = fl
+        new_version = snap["version"] + 1
+        self._commit(
+            {
+                "version": new_version,
+                "parent": snap["version"],
+                "schema": snap["schema"],
+                "key_cols": snap["key_cols"],
+                "num_buckets": snap["num_buckets"],
+                "files": files,
+                "summary": {
+                    "operation": "compact",
+                    "rewritten_buckets": sorted(int(b) for b in to_rewrite),
+                    "files_before": len(all_small),
+                    "files_after": sum(len(fl) for fl in new_files.values()),
+                },
+            }
+        )
+        return new_version
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """GC data files not referenced by the newest ``keep_last``
+        snapshots (Iceberg expire_snapshots analog). Returns the number
+        of files deleted. Time travel to expired versions stops
+        working, exactly like Iceberg."""
+        history = self.history()
+        if len(history) <= keep_last:
+            return 0
+        keep = history[-keep_last:]
+        live: set[str] = set()
+        for snap in keep:
+            for fl in snap["files"].values():
+                live.update(fl)
+            for fl in snap.get("deltas", {}).values():
+                live.update(fl)
+        removed = 0
+        for root, _dirs, fnames in os.walk(self.data_dir):
+            for fname in fnames:
+                p = os.path.join(root, fname)
+                if fname.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed += 1
+        # expire old snapshot manifests too
+        for snap in history[:-keep_last]:
+            p = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        return removed

@@ -1,0 +1,123 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+broadcast, single-exchange merge, codegen) must survive refactors.
+These are the engine's equivalent of the reference's documented
+EXPLAIN plan (docker/frost/indices.sql:14-40)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    """P1/P2/P6: predicate + column pruning must reach the parquet scan."""
+    df = entrymod.q_filter_project(spark, SF)
+    plan = plan_of(df)
+    assert "IsNotNull(value)" in plan and "Not(EqualTo(event_type,error))" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "props" not in m.group(1) and "ts" not in m.group(1), (
+        "unused columns must be pruned from the scan"
+    )
+
+
+def test_broadcast_join_strategy(spark):
+    """J1: dim lookups must be broadcast hash joins (no shuffle of the
+    fact side)."""
+    plan = plan_of(entrymod.q_broadcast_lookup_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = plan_of(entrymod.q_anti_join_new_rows(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_merge_plan_single_exchange(spark, tmp_path):
+    """The merge's dedup+write pipeline must contain exactly ONE
+    Exchange (repartition == window distribution == bucket layout)
+    and carry the WindowGroupLimit rank pushdown."""
+    changes = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "'insert' as op",
+        "event_id as lsn",
+        "cast(user_id as string) as conv_id",
+        "cast(event_id % 50 as int) as turn_idx",
+        "event_type as role",
+        "props as text",
+        "cast(null as string) as tool",
+        "ts",
+    )
+    keys = ["conv_id", "turn_idx"]
+    u = changes.repartition(8, *keys)
+    w = Window.partitionBy(*keys).orderBy(F.desc("lsn"))
+    out = (
+        u.select("*", F.row_number().over(w).alias("__rn"))
+        .filter("__rn = 1")
+        .withColumn("_b", F.pmod(F.hash(*keys), F.lit(8)).cast("int"))
+    )
+    plan = plan_of(out)
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """O1: global top-k must compile to TakeOrderedAndProject — a
+    per-partition top-k + k-row reduce, never a full sort."""
+    plan = plan_of(entrymod.q_topk_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_phase(spark):
+    """A-family: groupBy aggregates must keep map-side partial
+    aggregation (two HashAggregate phases around the shuffle)."""
+    plan = plan_of(entrymod.q_tpch1_agg(spark, SF))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_whole_stage_codegen_on_scalar_functions(spark):
+    """F-series expressions must stay inside WholeStageCodegen."""
+    plan = plan_of(entrymod.q_deterministic_hash(spark, SF))
+    # "*(n)" prefixes mark WholeStageCodegen stages in toString output
+    assert re.search(r"\*\(\d+\)", plan)
+    # and no python UDF anywhere in the scalar path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_python_udf_in_text_functions(spark):
+    plan = plan_of(entrymod.q_token_stats(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partition_pruning_merge_reads_only_touched_buckets(spark, tmp_path):
+    """The bucket-file manifest is the engine's partition pruning: a
+    1-key batch must scan only that key's bucket file(s)."""
+    from oregonwaterdataportal_etl_spark.cdc.changegen import (
+        CHANGE_SCHEMA,
+        generate_changes_pdf,
+    )
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], num_buckets=16
+    )
+    t.merge(spark.createDataFrame(generate_changes_pdf(4000, 300, seed=2)))
+    one = spark.createDataFrame(
+        [("update", 10**7, "conv_00000003", 1, "user", "x", None, None)],
+        schema=CHANGE_SCHEMA,
+    )
+    r = t.merge(one)
+    assert len(r.touched_buckets) == 1

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): arbitrary op/lsn interleavings
+per key must LWW-reduce to exactly the sequential oracle fold —
+mirrors the reference's hypothesis tests (userCode/wrd/lib_test.py:
+105-122, userCode/util_test.py:36-42) recast for the CDC engine."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oregonwaterdataportal_etl_spark.cdc import lww_dedup, oracle_fold
+from oregonwaterdataportal_etl_spark.cdc.changegen import CHANGE_SCHEMA
+from oregonwaterdataportal_etl_spark.functions import scalar
+
+
+def events_strategy():
+    ev = st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(0, 6),  # conv
+        st.integers(0, 4),  # turn
+        st.text(alphabet="abcxyz ", min_size=0, max_size=8),
+    )
+    return st.lists(ev, min_size=1, max_size=60)
+
+
+def to_rows(raw):
+    # assign strictly monotonic LSNs in list order, then shuffle-proof:
+    # the engine must not depend on row order, only LSN
+    rows = []
+    for i, (op, conv, turn, text) in enumerate(raw):
+        rows.append(
+            (
+                op,
+                i,
+                f"c{conv}",
+                turn,
+                None if op == "delete" else "user",
+                None if op == "delete" else text,
+                None,
+                None,
+            )
+        )
+    return rows
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy(), st.randoms())
+def test_lww_reduction_equals_oracle_fold(spark, raw, rnd):
+    rows = to_rows(raw)
+    events = [
+        dict(zip(["op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"], r))
+        for r in rows
+    ]
+    expected = oracle_fold(events)
+    expected_rows = sorted(
+        (k[0], k[1], v["text"]) for k, v in expected.items()
+    )
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)  # delivery order must not matter
+    df = spark.createDataFrame(shuffled, schema=CHANGE_SCHEMA)
+    deduped = lww_dedup(df).filter("op != 'delete'")
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in deduped.collect()
+    )
+    assert got == expected_rows
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.text(min_size=0, max_size=30), st.integers(1, 9))
+def test_deterministic_hash_property(spark, s, k):
+    """Hash positivity/width over arbitrary text (reference property
+    test shape) + exact md5 parity with Python."""
+    expected = int(hashlib.md5(s.encode()).hexdigest(), 16) % 10**k
+    expected = expected or 1
+    got = (
+        spark.createDataFrame([(s,)], ["s"])
+        .select(scalar.deterministic_hash("s", k).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert got == expected
+    assert 1 <= got < 10**k
