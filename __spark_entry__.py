@@ -365,6 +365,52 @@ def q_lsh_topk(spark, sf):
     return similarity.lsh_topk(e, [float(x) for x in qvec], k=10, bits=6, probes=3)
 
 
+def q_synth_numeric_id(spark, sf):
+    """F5: deterministic numeric id — digits of concat, truncated to 18
+    (the reference's iot.id synthesis)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        scalar.synth_numeric_id("c_name", F.col("c_custkey").cast("string")).alias("synth_id"),
+    )
+
+
+def q_padded_key(spark, sf):
+    """F6: zero-padded cross-API join key construction."""
+    s = _t(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        scalar.padded_key(F.col("s_nationkey").cast("string"), "s_suppkey").alias("wl_key"),
+    )
+
+
+def q_unit_from_header(spark, sf):
+    """F7: unit = last '_'/' '-separated token of a header string."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.element_at(F.split("p_type", " "), -1).alias("unit"),
+    )
+
+
+def q_bpe_token_count(spark, sf):
+    """Text analysis: BPE-ish regex token count."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.bpe_ish_token_count("text").alias("bpe_tokens"))
+
+
+def q_knn_join(spark, sf):
+    """Batch kNN join (Arrow-batched pandas matmul): top-3 corpus
+    neighbors for each of the first 3 query vectors."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = dbl.filter(F.col("vec_id") < 3)
+    out = similarity.knn_join_pandas(dbl, queries_df, k=3)
+    return out.select("query_id", "corpus_id", F.round("cosine", 3).alias("cosine"))
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -408,6 +454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
+        "synth_numeric_id": q_synth_numeric_id,
+        "padded_key": q_padded_key,
+        "unit_from_header": q_unit_from_header,
+        "bpe_token_count": q_bpe_token_count,
+        "knn_join": q_knn_join,
     }
 
 
@@ -621,6 +672,44 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(q.embedding, x -> cast(x AS double))), 4) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        "synth_numeric_id": """
+            SELECT c_custkey,
+                   substr(regexp_replace(concat(c_name, cast(c_custkey AS varchar)),
+                                         '[^0-9]', '', 'g'), 1, 18) AS synth_id
+            FROM customer
+        """,
+        "padded_key": """
+            SELECT s_suppkey,
+                   concat(cast(s_nationkey AS varchar),
+                          lpad(cast(s_suppkey AS varchar), 7, '0')) AS wl_key
+            FROM supplier
+        """,
+        "unit_from_header": """
+            SELECT p_partkey, string_split(p_type, ' ')[-1] AS unit FROM part
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])')) AS bpe_tokens
+            FROM documents
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id qid,
+                              list_transform(embedding, x -> cast(x AS double)) qv
+                       FROM embeddings WHERE vec_id < 3),
+                 c AS (SELECT vec_id cid,
+                              list_transform(embedding, x -> cast(x AS double)) cv
+                       FROM embeddings),
+                 s AS (SELECT qid, cid,
+                              round(list_cosine_similarity(cv, qv), 4) cosine
+                       FROM q, c),
+                 r AS (SELECT *, row_number() OVER
+                         (PARTITION BY qid ORDER BY cosine DESC, cid ASC) rn
+                       FROM s)
+            SELECT qid AS query_id, cid AS corpus_id,
+                   round(cosine, 3) AS cosine
+            FROM r WHERE rn <= 3
         """,
         # minhash_neardup / simhash_neardup / lsh_topk: rows-only
         # (xxhash64-seeded signatures are not expressible in DuckDB SQL)

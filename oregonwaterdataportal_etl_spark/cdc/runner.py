@@ -33,14 +33,23 @@ class CdcRunner:
         source: Callable[[], DataFrame],
         lsn_col: str = "lsn",
         op_col: str = "op",
+        mode: str = "cow",
+        compact_every: int = 0,
         salt: int = 8,
     ):
+        """mode='mor' + compact_every=N is the high-rate configuration:
+        append delta files per window (apply cost independent of table
+        size) and fold them into the base every N committed windows —
+        the Hudi-style MOR ingest loop."""
         self.table = table
         self.offsets = offsets
         self.manifests = manifests
         self.source = source
         self.lsn_col = lsn_col
         self.op_col = op_col
+        self.mode = mode
+        self.compact_every = compact_every
+        self._windows_since_compact = 0
         self.salt = salt
 
     def run_window(self, lsn_lo: int, lsn_hi: int) -> MergeResult | None:
@@ -58,10 +67,16 @@ class CdcRunner:
         )
         self.manifests.begin(batch_id, lsn_lo, lsn_hi)
         result = self.table.merge(
-            batch, op_col=self.op_col, lsn_col=self.lsn_col, salt=self.salt
+            batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
+            salt=self.salt,
         )
         self.manifests.commit(batch_id, result.as_dict())
         self.offsets.commit(lsn_hi, batch_id)
+        if self.mode == "mor" and self.compact_every:
+            self._windows_since_compact += 1
+            if self._windows_since_compact >= self.compact_every:
+                self.table.compact(batch.sparkSession)
+                self._windows_since_compact = 0
         return result
 
     def run_available(self, window_size: int = 1_000_000) -> list[MergeResult]:

@@ -171,8 +171,12 @@ def knn_join_pandas(
                 "cosine": np.round(sims.T.reshape(-1), 4),
             }
             res = pd.DataFrame(out)
-            # keep only per-batch top-k to bound shuffle size
-            res = res.sort_values(["query_id", "cosine"], ascending=[True, False])
+            # keep only per-batch top-k to bound shuffle size;
+            # corpus_id tie-break keeps the cut deterministic
+            res = res.sort_values(
+                ["query_id", "cosine", "corpus_id"],
+                ascending=[True, False, True],
+            )
             yield res.groupby("query_id", sort=False).head(k)
 
     from pyspark.sql.window import Window

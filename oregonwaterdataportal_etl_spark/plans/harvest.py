@@ -1,0 +1,116 @@
+"""Entry point A — the scheduled harvest pipeline, Spark-first.
+
+Re-expresses the reference's flagship WRD lifecycle (SURVEY.md 3.1,
+userCode/wrd/dag.py:72-366) as one declarative DataFrame pipeline:
+
+    station dims -> unpivot availability flags (P3) -> active
+    datastreams (J1) -> observations scan (S2) -> per-stream watermark
+    containment (J6/T2) -> range assertion (P8) -> deterministic ids
+    (F1/F5) -> LWW dedup (W1) -> MERGE into the lake table (K1-K3)
+
+Where the reference runs one Dagster partition per station with
+per-row Python and HTTP round-trips, this is a single distributed
+plan over all stations: per-station parallelism becomes ordinary data
+parallelism, the FROST watermark round-trip becomes an aggregation
+over the sink table, and the 500-row batched POST becomes the bucketed
+merge write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import deterministic_hash, strip_suffix
+from ..lake.table import LakeTable, MergeResult
+from ..operators.relational import (
+    assert_ts_in_range,
+    newer_than_watermark,
+    time_range_per_key,
+    unpivot_flags,
+)
+
+
+def discover_datastreams(
+    stations: DataFrame,
+    id_col: str = "station_id",
+    flag_suffixes: tuple[str, ...] = ("_available", "_avail"),
+) -> DataFrame:
+    """P3 — one Datastream row per active availability flag
+    (reference: userCode/wrd/dag.py:123-149 walks getattr per flag).
+    Returns (station_id, property, ds_id)."""
+    flag_cols = [
+        c for c in stations.columns
+        if any(c.endswith(s) for s in flag_suffixes)
+    ]
+    if not flag_cols:
+        raise ValueError("no availability flag columns found")
+    long = unpivot_flags(stations, [id_col], flag_cols, name_col="flag", value_col="v")
+    active = long.filter(F.col("v").cast("int") == 1)
+    prop = strip_suffix("flag", *flag_suffixes)
+    return active.select(
+        F.col(id_col),
+        prop.alias("property"),
+        deterministic_hash(F.concat(F.col(id_col), F.lit("-"), prop), 9).alias("ds_id"),
+    )
+
+
+def harvest_observations(
+    table: LakeTable,
+    observations: DataFrame,
+    datastreams: DataFrame,
+    station_col: str = "station_id",
+    property_col: str = "property",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    valid_range: tuple | None = None,
+) -> MergeResult:
+    """Incremental observation harvest into the lake table.
+
+    observations: (station_id, property, ts, value) new-scan rows.
+    datastreams: output of discover_datastreams — only observations of
+    active datastreams are admitted (J1 broadcast semi-join).
+
+    Watermark semantics (T2/T3): rows at or before the stream's stored
+    max(ts) are dropped before the merge — the reference's
+    (watermark, now] delta window; the merge's LSN guard then makes
+    any survivors idempotent anyway (belt and braces, exactly like
+    the reference's dedup-guard + duplicate-rejecting sink).
+    """
+    spark = observations.sparkSession
+    obs = observations.join(
+        F.broadcast(datastreams.select(station_col, property_col, "ds_id")),
+        on=[station_col, property_col],
+        how="inner",
+    )
+    # per-stream watermark from the sink (reference reads the stream's
+    # phenomenonTime range back from FROST, helper_classes.py:131-162)
+    existing = table.read(spark)
+    if existing.take(1):
+        wm = time_range_per_key(
+            existing, ["conv_id"], "ts"
+        ).select(F.col("conv_id").alias("__k"), F.col("range_end").alias("__wm"))
+        obs = newer_than_watermark(
+            obs.withColumn("__k", F.col("ds_id").cast("string")),
+            wm.withColumnRenamed("__k", "__k"),
+            "__k",
+            ts_col,
+            "__wm",
+        ).drop("__k")
+    if valid_range is not None:
+        assert_ts_in_range(obs, ts_col, *valid_range)
+
+    # deterministic event ids: digits of (ds_id, ts) truncated — F1/F5
+    # (userCode/wrd/sta_generation.py:29-46); the LSN is the event
+    # time's epoch-seconds (monotonic per stream by construction)
+    changes = obs.select(
+        F.lit("insert").alias("op"),
+        F.unix_timestamp(F.col(ts_col)).alias("lsn"),
+        F.col("ds_id").cast("string").alias("conv_id"),
+        F.pmod(F.xxhash64(F.col(ts_col)), F.lit(2_000_000_000)).cast("int").alias("turn_idx"),
+        F.lit("obs").alias("role"),
+        F.col(value_col).cast("string").alias("text"),
+        F.col(property_col).alias("tool"),
+        F.col(ts_col).alias("ts"),
+    )
+    return table.merge(changes)

@@ -226,3 +226,24 @@ def test_bucket_pruning(spark, tmp_path, changes_pdf):
     assert untouched, "test needs untouched buckets"
     for b in untouched:
         assert files_after[b] == files_before[b]
+
+
+def test_runner_mor_with_autocompact(spark, tmp_path, changes_pdf):
+    """MOR runner with compaction every 2 windows converges to the
+    same final state as the cow runner."""
+    table = make_table(tmp_path, "mor_run")
+    offsets = OffsetLog(str(tmp_path / "mor_off"))
+    manifests = ManifestLog(str(tmp_path / "mor_mf"))
+    df = spark.createDataFrame(changes_pdf)
+    df.write.mode("overwrite").parquet(str(tmp_path / "mor_stream"))
+    source = lambda: spark.read.parquet(str(tmp_path / "mor_stream"))  # noqa: E731
+    runner = CdcRunner(
+        table, offsets, manifests, source, mode="mor", compact_every=2
+    )
+    results = runner.run_available(window_size=1000)
+    assert len(results) == 5
+    assert table_state(table, spark) == oracle_state(changes_pdf.to_dict("records"))
+    # deltas folded at least once mid-run (the fold commits as a cow
+    # 'merge'; bin-packing only commits 'compact' when files accrete)
+    ops = [s["summary"]["operation"] for s in table.history()]
+    assert "merge-mor" in ops and "merge" in ops

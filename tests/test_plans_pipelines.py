@@ -1,0 +1,146 @@
+"""Reference lifecycle pipelines: WRD-style harvest (entry point A)
+and the xlsx star load (entry point C), on FIXTURES.md section 5
+shaped fixtures."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.plans import (
+    discover_datastreams,
+    harvest_observations,
+    load_xlsx_star,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def stations(spark):
+    return spark.createDataFrame(
+        [
+            ("10371500", "MDF Station", 1, 0),
+            ("10378500", "Other Station", 1, 1),
+        ],
+        ["station_id", "name", "mean_daily_flow_available", "stage_avail"],
+    )
+
+
+def test_discover_datastreams(spark, stations):
+    ds = discover_datastreams(stations).collect()
+    got = {(r["station_id"], r["property"]) for r in ds}
+    assert got == {
+        ("10371500", "mean_daily_flow"),
+        ("10378500", "mean_daily_flow"),
+        ("10378500", "stage"),
+    }
+    assert all(1 <= r["ds_id"] < 10**9 for r in ds)
+
+
+def test_harvest_incremental_watermark(spark, stations, tmp_path):
+    """First harvest loads everything; second harvest with overlapping
+    + new rows applies only the new ones (watermark + LSN guard) —
+    the reference's run-twice test shape."""
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    ds = discover_datastreams(stations)
+    obs1 = spark.createDataFrame(
+        [
+            ("10371500", "mean_daily_flow", ts("2025-01-01T00:00:00"), 17.1),
+            ("10371500", "mean_daily_flow", ts("2025-01-02T00:00:00"), 15.2),
+            ("10378500", "stage", ts("2025-01-01T00:00:00"), 3.3),
+            # inactive property must be dropped by the datastream join
+            ("10371500", "stage", ts("2025-01-01T00:00:00"), 9.9),
+        ],
+        ["station_id", "property", "ts", "value"],
+    )
+    r1 = harvest_observations(table, obs1, ds)
+    assert r1.rows_inserted == 3
+
+    obs2 = spark.createDataFrame(
+        [
+            # duplicate of an existing row (at the watermark) -> dropped
+            ("10371500", "mean_daily_flow", ts("2025-01-02T00:00:00"), 15.2),
+            # genuinely new
+            ("10371500", "mean_daily_flow", ts("2025-01-03T00:00:00"), 14.0),
+        ],
+        ["station_id", "property", "ts", "value"],
+    )
+    r2 = harvest_observations(table, obs2, ds)
+    assert r2.rows_inserted == 1 and r2.rows_updated == 0
+    vals = sorted(
+        r["text"] for r in table.read(spark).filter("tool='mean_daily_flow'").collect()
+    )
+    assert vals == ["14.0", "15.2", "17.1"]
+
+
+def test_harvest_range_assert(spark, stations, tmp_path):
+    table = LakeTable.create(
+        str(tmp_path / "t2"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    ds = discover_datastreams(stations)
+    obs = spark.createDataFrame(
+        [("10371500", "mean_daily_flow", ts("1800-01-01T00:00:00"), 1.0)],
+        ["station_id", "property", "ts", "value"],
+    )
+    with pytest.raises(ValueError, match="outside"):
+        harvest_observations(
+            table, obs, ds, valid_range=("1850-01-01", "2100-01-01")
+        )
+
+
+@pytest.fixture()
+def workbook(spark):
+    site = spark.createDataFrame(
+        [("S1", "Upper Gauge", -120.1, 44.2, "305m", "OWRD")],
+        ["native_id", "name", "lon", "lat", "elevation_str", "org"],
+    )
+    metadata = spark.createDataFrame(
+        [("M1", "S1", "flow", "cfs", "avg"), ("M2", "S1", "stage", "ft", "inst")],
+        ["md_id", "site_id", "property", "unit", "value_type"],
+    )
+    data = spark.createDataFrame(
+        [
+            ("M1", ts("2025-02-01T00:00:00"), ts("2025-02-01T01:00:00"), 12.5, "good"),
+            ("M2", ts("2025-02-01T00:00:00"), ts("2025-02-01T01:00:00"), 2.2, "good"),
+        ],
+        ["md_id", "sample_ts", "result_ts", "value", "quality"],
+    )
+    return site, metadata, data
+
+
+def test_xlsx_star_load(spark, workbook):
+    site, metadata, data = workbook
+    out = load_xlsx_star(site, metadata, data).collect()
+    assert len(out) == 2
+    by_prop = {r["property"]: r for r in out}
+    assert by_prop["flow"]["unit"] == "cfs"
+    assert by_prop["flow"]["elevation"] == 305
+    assert by_prop["flow"]["site_name"] == "Upper Gauge"
+    assert by_prop["flow"]["obs_id"] != by_prop["stage"]["obs_id"]
+
+
+def test_xlsx_star_dangling_fk(spark, workbook):
+    site, metadata, data = workbook
+    bad = data.union(
+        data.sparkSession.createDataFrame(
+            [("M404", ts("2025-02-01T00:00:00"), ts("2025-02-01T01:00:00"), 0.0, "bad")],
+            data.schema,
+        )
+    )
+    with pytest.raises(ValueError, match="missing metadata id"):
+        load_xlsx_star(site, metadata, bad)
+    # lenient mode drops the dangler
+    assert load_xlsx_star(site, metadata, bad, strict=False).count() == 2
+
+
+def test_xlsx_missing_column(spark, workbook):
+    site, metadata, data = workbook
+    with pytest.raises(ValueError, match="missing expected columns"):
+        load_xlsx_star(site.drop("org"), metadata, data)
