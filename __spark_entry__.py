@@ -411,6 +411,24 @@ def q_knn_join(spark, sf):
     return out.select("query_id", "corpus_id", F.round("cosine", 3).alias("cosine"))
 
 
+def q_detect_lang(spark, sf):
+    """Heuristic language-ID over documents (expression-only CASE)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.detect_lang("text").alias("lang_detected"))
+
+
+def q_explode_roundtrip(spark, sf):
+    """S3-family: collect_list -> explode round-trip; final counts must
+    equal the plain aggregation (exercises the explode path)."""
+    ev = _t(spark, sf, "events")
+    nested = ev.groupBy("user_id").agg(F.collect_list("event_type").alias("types"))
+    return (
+        nested.select("user_id", F.explode("types").alias("event_type"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -459,7 +477,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_from_header": q_unit_from_header,
         "bpe_token_count": q_bpe_token_count,
         "knn_join": q_knn_join,
+        "detect_lang": q_detect_lang,
+        "explode_roundtrip": q_explode_roundtrip,
     }
+
+
+def _detect_lang_sql() -> str:
+    """Mechanical SQL replica of functions.text.detect_lang: per-language
+    marker-occurrence sums, first language (in marker-dict order) holding
+    the max positive score wins."""
+    def occ(m):
+        return (f"cast((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS int)")
+
+    scores = {
+        lang: " + ".join(occ(m) for m in markers)
+        for lang, markers in text.LANG_MARKERS.items()
+    }
+    score_cols = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in scores
+    )
+    return f"""
+        SELECT doc_id, CASE {case} ELSE 'und' END AS lang_detected
+        FROM (SELECT doc_id, {score_cols}
+              FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents))
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -710,6 +753,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, cid AS corpus_id,
                    round(cosine, 3) AS cosine
             FROM r WHERE rn <= 3
+        """,
+        "detect_lang": _detect_lang_sql(),
+        "explode_roundtrip": """
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY user_id, event_type
         """,
         # minhash_neardup / simhash_neardup / lsh_topk: rows-only
         # (xxhash64-seeded signatures are not expressible in DuckDB SQL)

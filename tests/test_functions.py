@@ -118,3 +118,36 @@ def test_shingles_and_ngrams(spark):
     assert sh == ["abc", "bcd", "cde", "def"]
     ng = strcol(spark, "a b c d", lambda c: text.word_ngrams(c, 2))
     assert ng == ["a b", "b c", "c d"]
+
+
+def test_circle_polygon(spark):
+    """F9 — geodesic circle polygon pandas UDF (reference:
+    userCode/groundwater/lib.py:4-35). Verify ring shape, closure,
+    and that every vertex is ~radius meters from the center."""
+    import math
+
+    from oregonwaterdataportal_etl_spark.functions.geo import (
+        EARTH_RADIUS_M,
+        FT_TO_M,
+        circle_polygon,
+    )
+
+    df = spark.createDataFrame(
+        [(-120.0, 44.0, 1000.0), (0.0, 0.0, 328.084)], ["lon", "lat", "radius_ft"]
+    )
+    rows = df.select(
+        "lon", "lat", "radius_ft", circle_polygon("lon", "lat", "radius_ft").alias("ring")
+    ).collect()
+    for r in rows:
+        ring = r["ring"]
+        assert len(ring) == 13 and ring[0] == ring[-1]  # closed 12-gon
+        radius_m = r["radius_ft"] * FT_TO_M
+        for lon2, lat2 in ring[:-1]:
+            # haversine distance back to the center
+            p1, p2 = math.radians(r["lat"]), math.radians(lat2)
+            dlam = math.radians(lon2 - r["lon"])
+            d = math.acos(
+                min(1.0, math.sin(p1) * math.sin(p2)
+                    + math.cos(p1) * math.cos(p2) * math.cos(dlam))
+            ) * EARTH_RADIUS_M
+            assert abs(d - radius_m) < 1.0, (d, radius_m)
