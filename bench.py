@@ -88,10 +88,23 @@ def bench_cdc(spark, workdir: str) -> dict:
     t0 = time.perf_counter()
     result = table.merge(changes)
     elapsed = time.perf_counter() - t0
+
+    # merge-on-read apply (the high-rate ingest path): append-only
+    mor_table = LakeTable.create(
+        os.path.join(workdir, "table_mor"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=max(nparts, 16),
+    )
+    t0 = time.perf_counter()
+    mor_table.merge(changes, mode="mor")
+    mor_elapsed = time.perf_counter() - t0
     return {
         "cdc_apply_sec": round(elapsed, 3),
         "cdc_events": CDC_EVENTS,
         "cdc_events_per_sec": round(CDC_EVENTS / elapsed, 1),
+        "cdc_mor_apply_sec": round(mor_elapsed, 3),
+        "cdc_mor_events_per_sec": round(CDC_EVENTS / mor_elapsed, 1),
         "cdc_rows_final": result.rows_inserted,
     }
 

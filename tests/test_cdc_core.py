@@ -247,3 +247,35 @@ def test_runner_mor_with_autocompact(spark, tmp_path, changes_pdf):
     # 'merge'; bin-packing only commits 'compact' when files accrete)
     ops = [s["summary"]["operation"] for s in table.history()]
     assert "merge-mor" in ops and "merge" in ops
+
+
+def test_hot_conversation_skew(spark, tmp_path):
+    """north_rule skew fixture: one conversation holds ~10% of all
+    events. Correctness must hold and no bucket may absorb the hot
+    conversation whole (bucketing hashes the FULL key, so a hot conv
+    spreads across buckets by its turn_idx)."""
+    import numpy as np
+    import pandas as pd
+
+    n = 20_000
+    base = generate_changes_pdf(n, 500, seed=13, max_turns=200)
+    hot = base.copy()
+    hot_idx = np.arange(0, n, 10)  # 10% of events -> one conversation
+    hot.loc[hot_idx, "conv_id"] = "conv_hot"
+    table = make_table(tmp_path, "skew")
+    r = table.merge(spark.createDataFrame(hot))
+    # correctness vs oracle
+    assert table_state(table, spark) == oracle_state(hot.to_dict("records"))
+    # skew bound: the hot conversation's keys spread over many buckets
+    snap = table.snapshot()
+    hot_rows = (
+        table.read(spark)
+        .filter("conv_id = 'conv_hot'")
+        .select(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(snap["num_buckets"])).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(hot_rows) >= snap["num_buckets"] // 2, (
+        "hot conversation must spread across buckets"
+    )
