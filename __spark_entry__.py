@@ -429,6 +429,28 @@ def q_explode_roundtrip(spark, sf):
     )
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_counts(spark, sf):
+    """Pivot: event-type counts as columns per user (explicit value
+    list keeps the plan single-pass, no value-discovery job)."""
+    ev = _t(spark, sf, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+def q_count_distinct(spark, sf):
+    """Exact distinct aggregation per group."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -479,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "detect_lang": q_detect_lang,
         "explode_roundtrip": q_explode_roundtrip,
+        "pivot_event_counts": q_pivot_event_counts,
+        "count_distinct": q_count_distinct,
     }
 
 
@@ -753,6 +777,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, cid AS corpus_id,
                    round(cosine, 3) AS cosine
             FROM r WHERE rn <= 3
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   """ + ", ".join(
+                       f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                       for t in _EVENT_TYPES
+                   ) + """
+            FROM events GROUP BY user_id
+        """,
+        "count_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+                   count(*) AS events
+            FROM events GROUP BY event_type
         """,
         "detect_lang": _detect_lang_sql(),
         "explode_roundtrip": """

@@ -1,3 +1,4 @@
+from .stateful import conversation_progress
 from .stream import start_cdc_stream, windowed_event_counts
 
-__all__ = ["start_cdc_stream", "windowed_event_counts"]
+__all__ = ["conversation_progress", "start_cdc_stream", "windowed_event_counts"]
