@@ -392,11 +392,14 @@ class LakeTable:
 
         # -- partition pruning: which buckets does the batch touch? -
         # One cheap pass over the batch (bucket ids only). Skipped when
-        # the table is empty — nothing to prune, save the scan.
+        # the table is completely empty (no base files AND no deltas) —
+        # nothing to prune, save the scan. With deltas present the real
+        # touched set matters: only touched buckets' deltas get folded
+        # and cleared (selective compaction depends on this).
         n_buckets = snap["num_buckets"]
         bexpr = self._bucket_expr()
         upd = updates
-        if snap["files"]:
+        if snap["files"] or snap.get("deltas"):
             touched = sorted(
                 r[0] for r in upd.select(bexpr.alias("b")).distinct().collect()
             )
@@ -621,7 +624,12 @@ class LakeTable:
         return result
 
     # ---------------------------------------------------- maintenance
-    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files_per_bucket: int = 1,
+        min_delta_files: int = 1,
+    ) -> int:
         """Bin-pack small files: rewrite every bucket that has more
         than target_files_per_bucket files into fewer, larger files.
         Incremental merges accrete one file per (batch, bucket); at
@@ -631,10 +639,17 @@ class LakeTable:
 
         Merge-on-read deltas are folded into the base first (the MOR
         compaction step): replaying the delta rows through the cow
-        merge resolves LWW + tombstones and clears the delta list."""
+        merge resolves LWW + tombstones and clears the delta list.
+        min_delta_files selects WHICH buckets fold: only those carrying
+        at least that many delta files (at 10^10 scale you fold the
+        read-amplified tail, not the whole table)."""
         snap = self.snapshot()
-        if snap.get("deltas"):
-            deltas_df = self._read_deltas(spark, snap)
+        fold_buckets = [
+            int(b) for b, fl in snap.get("deltas", {}).items()
+            if len(fl) >= min_delta_files
+        ]
+        if fold_buckets:
+            deltas_df = self._read_deltas(spark, snap, buckets=fold_buckets)
             schema = T.StructType.fromJson(json.loads(snap["schema"]))
             updates = deltas_df.select(
                 *[f.name for f in schema.fields],

@@ -72,11 +72,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 5,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
     by estimated Jaccard (signature agreement rate).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    max_bucket_size guards the candidate self-join against pathological
+    corpora (a band bucket holding m ids yields m^2 pairs): buckets
+    larger than the cap are dropped from candidate generation, trading
+    recall on extreme-duplication clusters for a hard bound on join
+    blow-up — the standard LSH production guard. None disables.
     """
     rows_per_band = num_hashes // bands
     src = df.select(id_col, text_col)
@@ -107,6 +114,15 @@ def minhash_lsh_pairs(
                 )
             ).alias("band", "bucket"),
         )
+        if max_bucket_size is not None:
+            from pyspark.sql.window import Window as _W
+
+            bucket_n = F.count("*").over(_W.partitionBy("band", "bucket"))
+            banded = (
+                banded.withColumn("__bn", bucket_n)
+                .filter(F.col("__bn") <= max_bucket_size)
+                .drop("__bn")
+            )
         a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
         b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
         pairs = (
