@@ -27,12 +27,13 @@ Reference parity (SURVEY.md section 2):
   (userCode/groundwater/dag.py:63-148) -> MergeResult row counts.
 
 Scale design (100 TB):
-- data is hash-bucketed on the first key column (analog of Iceberg
-  ``bucket(conv_id)``); a merge reads ONLY the buckets the update
-  batch touches (partition pruning at the file-manifest level);
-- the merge shuffle is salted across all key columns, so a hot
-  conversation spreads over many tasks (north_rule: "salted,
-  key-partitioned shuffle");
+- data is hash-bucketed on the FULL key (conv_id AND turn_idx) with
+  Spark's own HashPartitioning function; a merge reads ONLY the
+  buckets the update batch touches (partition pruning at the
+  file-manifest level);
+- full-key bucketing IS the skew treatment (north_rule's "salted,
+  key-partitioned shuffle"): a hot conversation spreads over buckets
+  by turn_idx, so no task absorbs it whole — structural salting;
 - copy-on-write at bucket granularity: untouched buckets carry their
   file references forward into the new snapshot — no data movement;
 - commits are atomic: write snapshot JSON, then os.replace() of the
