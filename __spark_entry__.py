@@ -357,6 +357,16 @@ def q_simhash_neardup(spark, sf):
     return dedup.simhash_dedup_pairs(d, max_hamming=3)
 
 
+def q_ivf_topk(spark, sf):
+    """ANN scale path #2: IVF (k-means cells + probe nearest cells;
+    rows-only: approximate by design)."""
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ivf_topk(
+        e, [float(x) for x in qvec], k=10, n_centroids=16, probes=4
+    )
+
+
 def q_lsh_topk(spark, sf):
     """ANN scale path: hyperplane-LSH bucketed top-k (rows-only: recall
     is approximate by design)."""
@@ -494,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
         "unit_from_header": q_unit_from_header,

@@ -19,6 +19,7 @@ bigger buckets = higher recall, more verify work).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -189,4 +190,81 @@ def knn_join_pandas(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- IVF
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (numpy).
+    Good-enough centroids for IVF cell assignment; at 100 TB you train
+    on a 10^5-row sample exactly like this — the corpus never moves."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    centroids = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+    cell_col: str = "__cell",
+):
+    """Train centroids on a sample, assign every row its IVF cell via
+    an Arrow-batched argmin (numpy matmul per batch). Returns
+    (df_with_cell, centroids). The cell column is the partition/cluster
+    key at scale — queries scan only probed cells."""
+    sample_rows = df.select(vec_col).limit(sample_size).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans(sample, n_centroids, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.array(list(v), dtype=np.float64)
+        # argmin squared distance = argmax (2 x.c - |c|^2)
+        scores = 2.0 * (mat @ c.T) - (c**2).sum(axis=1)[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(cell_col, assign(F.col(vec_col))), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    probes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: assign cells, probe the `probes` cells
+    nearest the query, exact cosine re-rank inside them. Scan fraction
+    ~= probes / n_centroids once the cell column is a storage
+    partition key."""
+    with_cell, centroids = ivf_assign(df, vec_col, n_centroids, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in d.argsort()[:probes]]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        with_cell.filter(F.col("__cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
     )

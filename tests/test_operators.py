@@ -216,3 +216,14 @@ def test_multimodal_features_and_frames(spark):
     bad = spark.createDataFrame([(3, "application/pdf", b"x", {})], schema=multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="no decoder"):
         multimodal.extract_features(bad).collect()
+
+
+def test_ivf_topk(spark, vectors):
+    """IVF: self + near-copies recalled through probed cells."""
+    df, base = vectors
+    out = similarity.ivf_topk(
+        df, [float(x) for x in base], k=5, n_centroids=8, probes=3
+    ).collect()
+    assert out and out[0]["vec_id"] == 0 and out[0]["cosine"] == 1.0
+    # the 4 deliberate near-copies live in the same cell as the query
+    assert {r["vec_id"] for r in out} <= set(range(5))
