@@ -13,7 +13,12 @@ sides so value-hash comparison is stable across engines.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make imports robust to
+# whatever cwd the driver harness uses
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -121,16 +121,9 @@ def lsh_topk(
         if j < bits:
             buckets.append(qbucket ^ (1 << int(order[j])))
     with_b = add_hyperplane_bucket(df, vec_col, bits=bits, seed=seed, dim=dim)
-    q = F.array(*[F.lit(float(x)) for x in query])
-    return (
-        with_b.filter(F.col("__bucket").isin(buckets))
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    candidates = with_b.filter(F.col("__bucket").isin(buckets))
+    # exact re-rank inside candidate buckets = the brute-force operator
+    return brute_force_topk(candidates, query, id_col, vec_col, k)
 
 
 def knn_join_pandas(
@@ -202,8 +195,10 @@ def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) ->
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     centroids = sample[idx].astype(np.float64)
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        # argmin ||x-c||^2 == argmax (2 x.c - |c|^2): O(n*k) memory,
+        # no n x k x dim broadcast tensor (matters at 1e5-row samples)
+        scores = 2.0 * (sample @ centroids.T) - (centroids**2).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
         for c in range(len(centroids)):
             members = sample[assign == c]
             if len(members):
@@ -223,7 +218,13 @@ def ivf_assign(
     an Arrow-batched argmin (numpy matmul per batch). Returns
     (df_with_cell, centroids). The cell column is the partition/cluster
     key at scale — queries scan only probed cells."""
-    sample_rows = df.select(vec_col).limit(sample_size).collect()
+    # deterministic sample: order by the vector's own hash so the
+    # same corpus yields the same centroids regardless of file layout
+    sample_rows = (
+        df.select(vec_col).orderBy(F.xxhash64(vec_col)).limit(sample_size).collect()
+    )
+    if not sample_rows:
+        raise ValueError("empty dataframe; cannot train IVF centroids")
     sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
     centroids = _kmeans(sample, n_centroids, seed)
     spark = df.sparkSession
@@ -258,13 +259,5 @@ def ivf_topk(
     qv = np.asarray(query, dtype=np.float64)
     d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in d.argsort()[:probes]]
-    q = F.array(*[F.lit(float(x)) for x in query])
-    return (
-        with_cell.filter(F.col("__cell").isin(probe_cells))
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    candidates = with_cell.filter(F.col("__cell").isin(probe_cells))
+    return brute_force_topk(candidates, query, id_col, vec_col, k)
