@@ -45,7 +45,7 @@ def apply_batch(
     changes: DataFrame,
     op_col: str = "op",
     lsn_col: str = "lsn",
-    salt: int = 8,
+    mode: str = "cow",
 ) -> MergeResult:
     """Dedup a change batch and MERGE it into the lake table.
 
@@ -55,7 +55,7 @@ def apply_batch(
     standalone operator for pipelines that need a clean batch without
     a sink.
     """
-    return table.merge(changes, op_col=op_col, lsn_col=lsn_col, salt=salt)
+    return table.merge(changes, op_col=op_col, lsn_col=lsn_col, mode=mode)
 
 
 def oracle_fold(events: list[dict], key_cols=("conv_id", "turn_idx")) -> dict:

@@ -70,14 +70,20 @@ def _make_batch(
         u < delete_rate, "delete", np.where(u < delete_rate + update_rate, "update", "insert")
     )
     lsn = np.arange(lsn_start, lsn_start + n, dtype=np.int64)
-    if out_of_order > 0:
-        # swap a fraction of adjacent LSN positions within the batch so
-        # event order != LSN order (the stream is a log tail that can
-        # deliver slightly out of order; LSN stays the global truth).
+    if out_of_order > 0 and n >= 2:
+        # swap a fraction of DISJOINT adjacent pairs so event order !=
+        # LSN order (log tail delivering slightly out of order; LSN is
+        # the global truth). Pairs (2i, 2i+1) cannot overlap, so the
+        # result is always a true permutation — choosing arbitrary
+        # adjacent indices could pick i and i+1 and corrupt the
+        # permutation (duplicated + dropped events).
         k = int(n * out_of_order)
-        idx = rng.choice(n - 1, size=max(k, 0), replace=False)
+        pair_starts = rng.choice(n // 2, size=min(max(k, 0), n // 2), replace=False) * 2
         perm = np.arange(n)
-        perm[idx], perm[idx + 1] = perm[idx + 1].copy(), perm[idx].copy()
+        perm[pair_starts], perm[pair_starts + 1] = (
+            perm[pair_starts + 1].copy(),
+            perm[pair_starts].copy(),
+        )
         order = perm
     else:
         order = np.arange(n)

@@ -29,6 +29,8 @@ import os
 import uuid
 from datetime import datetime, timezone
 
+from ..lake.table import _fsync_dir
+
 
 def batch_id_for_window(source_id: str, lsn_lo: int, lsn_hi: int) -> str:
     """Deterministic id of an offset window (reference: md5-derived
@@ -61,6 +63,7 @@ class ManifestLog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._file(batch_id))
+        _fsync_dir(self.path)
 
     def begin(self, batch_id: str, lsn_lo: int, lsn_hi: int) -> None:
         self._write(

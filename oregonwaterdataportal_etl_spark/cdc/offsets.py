@@ -20,6 +20,8 @@ import os
 import uuid
 from datetime import datetime, timezone
 
+from ..lake.table import _fsync_dir
+
 
 class OffsetLog:
     def __init__(self, path: str, source_id: str = "default"):
@@ -59,6 +61,7 @@ class OffsetLog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._ptr)
+        _fsync_dir(self.path)
 
     def history(self) -> list[dict]:
         log = os.path.join(self.path, f"log-{self.source_id}.jsonl")

@@ -35,7 +35,6 @@ class CdcRunner:
         op_col: str = "op",
         mode: str = "cow",
         compact_every: int = 0,
-        salt: int = 8,
     ):
         """mode='mor' + compact_every=N is the high-rate configuration:
         append delta files per window (apply cost independent of table
@@ -50,14 +49,14 @@ class CdcRunner:
         self.mode = mode
         self.compact_every = compact_every
         self._windows_since_compact = 0
-        self.salt = salt
 
     def run_window(self, lsn_lo: int, lsn_hi: int) -> MergeResult | None:
         """Apply one offset window [lsn_lo, lsn_hi] exactly once.
 
-        Returns None when the window is empty or already committed
+        Returns None when the window is already committed
         (duplicate-batch replay -> no-op, the reference's run-twice
-        invariant, userCode/wrd/dag_test.py:113-216).
+        invariant, userCode/wrd/dag_test.py:113-216) or empty (the
+        offset watermark still advances; no table snapshot is written).
         """
         batch_id = batch_id_for_window(self.offsets.source_id, lsn_lo, lsn_hi)
         if self.manifests.is_committed(batch_id):
@@ -65,10 +64,16 @@ class CdcRunner:
         batch = self.source().filter(
             (F.col(self.lsn_col) >= lsn_lo) & (F.col(self.lsn_col) <= lsn_hi)
         )
+        if batch.isEmpty():
+            # sparse LSN space: advance the watermark without churning
+            # a table snapshot per empty window
+            self.manifests.begin(batch_id, lsn_lo, lsn_hi)
+            self.manifests.commit(batch_id, {"empty": True})
+            self.offsets.commit(lsn_hi, batch_id)
+            return None
         self.manifests.begin(batch_id, lsn_lo, lsn_hi)
         result = self.table.merge(
             batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
-            salt=self.salt,
         )
         self.manifests.commit(batch_id, result.as_dict())
         self.offsets.commit(lsn_hi, batch_id)

@@ -53,10 +53,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so renames/creates in it survive power loss
+    (no-op on platforms without O_DIRECTORY semantics)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
 _BUCKET_COL = "_b"
 _ACTION_COL = "_action"  # per-row merge outcome, written for metrics
-_DEL_COL = "_del"  # partition dir quarantining winning deletes
+_DEL_COL = "_del"  # partition dir holding tombstones (winning deletes)
 _OP_COL = "_op"  # op column persisted in merge-on-read delta files
 
 
@@ -70,6 +87,7 @@ class MergeResult:
     rows_updated: int = 0
     rows_deleted: int = 0
     rows_noop: int = 0
+    rows_dropped: int = 0  # delete won but no base row existed
     rows_delta: int = 0  # merge-on-read: deduped events appended
     touched_buckets: list[int] = field(default_factory=list)
     partition_counts: dict[int, int] = field(default_factory=dict)
@@ -81,6 +99,7 @@ class MergeResult:
             "rows_updated": self.rows_updated,
             "rows_deleted": self.rows_deleted,
             "rows_noop": self.rows_noop,
+            "rows_dropped": self.rows_dropped,
             "rows_delta": self.rows_delta,
             "touched_buckets": self.touched_buckets,
             "partition_counts": {str(k): v for k, v in self.partition_counts.items()},
@@ -121,11 +140,26 @@ class LakeTable:
         return out
 
     def _commit(self, snap: dict) -> None:
-        """Atomic snapshot commit: fsync snapshot file, then atomically
-        swing the CURRENT pointer (os.replace = POSIX rename)."""
+        """Atomic snapshot commit with optimistic concurrency:
+
+        1. create snap-N.json with O_EXCL — two committers that both
+           read parent N-1 race to create the same file; the loser gets
+           FileExistsError (CommitConflictError) instead of silently
+           clobbering the winner (Iceberg's metadata-swap semantics);
+        2. fsync the file AND the metadata directory (rename/create
+           durability across power loss);
+        3. atomically swing the CURRENT pointer (os.replace).
+        """
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_path = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
-        with open(snap_path, "w") as f:
+        try:
+            fd = os.open(snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"version {snap['version']} was committed concurrently; "
+                "re-read the table and retry"
+            ) from e
+        with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
@@ -135,6 +169,7 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._current_ptr)
+        _fsync_dir(self.meta_dir)
 
     # --------------------------------------------------------- schema
     def schema(self) -> T.StructType:
@@ -168,6 +203,18 @@ class LakeTable:
             F.lit("base").alias("__op"),
             F.lit(0).alias("__src"),
         )
+        # tombstones participate so a stale lower-LSN delta event for a
+        # deleted key cannot resurrect it at read time
+        tomb = self._read_tombstones(spark, snap)
+        if tomb is not None:
+            base_tagged = base_tagged.unionByName(
+                tomb.select(
+                    *names,
+                    F.col(LSN_COL).alias("__lsn"),
+                    F.lit("delete").alias("__op"),
+                    F.lit(0).alias("__src"),
+                )
+            )
         upd_tagged = deltas.select(
             *names,
             F.col(LSN_COL).alias("__lsn"),
@@ -176,7 +223,7 @@ class LakeTable:
         )
         winners = self._resolve(base_tagged, upd_tagged, snap["key_cols"],
                                 snap["num_buckets"])
-        return winners.filter(F.col("__op") != "delete").select(*names)
+        return winners.filter(~F.col("__op").isin("delete", "tombstone")).select(*names)
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:
@@ -196,6 +243,22 @@ class LakeTable:
             ]
         )
         return spark.read.schema(stored).parquet(*dfiles)
+
+    def _read_tombstones(self, spark: SparkSession, snap: dict,
+                         buckets: list[int] | None = None) -> DataFrame | None:
+        """Read retained tombstone files (winning-delete rows with
+        their _lsn). Schema = stored schema; payload columns are null."""
+        tfiles: list[str] = []
+        for b, flist in snap.get("tombstones", {}).items():
+            if buckets is None or int(b) in buckets:
+                tfiles.extend(flist)
+        if not tfiles:
+            return None
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        stored = T.StructType(
+            list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
+        )
+        return spark.read.schema(stored).parquet(*tfiles)
 
     def _resolve(self, base_tagged: DataFrame, upd_tagged: DataFrame,
                  key_cols: list[str], n_buckets: int) -> DataFrame:
@@ -358,7 +421,7 @@ class LakeTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         mode: str = "cow",
-        salt: int = 8,
+        _touched_override: list[int] | None = None,
     ) -> MergeResult:
         """Apply a change batch with LWW-by-LSN semantics.
 
@@ -400,7 +463,9 @@ class LakeTable:
         n_buckets = snap["num_buckets"]
         bexpr = self._bucket_expr()
         upd = updates
-        if snap["files"] or snap.get("deltas"):
+        if _touched_override is not None:
+            touched = sorted(_touched_override)
+        elif snap["files"] or snap.get("deltas") or snap.get("tombstones"):
             touched = sorted(
                 r[0] for r in upd.select(bexpr.alias("b")).distinct().collect()
             )
@@ -408,19 +473,35 @@ class LakeTable:
             touched = list(range(n_buckets))
 
         base = self._read_internal(spark, buckets=touched)
-        # project base to the evolved schema (nulls for new columns)
-        base_sel = [
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in base.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in evolved.fields
-        ]
+
+        def project_evolved(df):
+            return [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in evolved.fields
+            ]
+
         base_tagged = base.select(
-            *base_sel,
+            *project_evolved(base),
             F.col(LSN_COL).alias("__lsn"),
             F.lit("base").alias("__op"),
             F.lit(0).alias("__src"),
         )
+        # tombstones of touched buckets re-enter as base-side deletes:
+        # a stale lower-LSN event for a deleted key loses to the
+        # tombstone instead of resurrecting the row (LWW across the
+        # delete horizon). Winning tombstones get re-emitted below.
+        tomb = self._read_tombstones(spark, snap, buckets=touched)
+        if tomb is not None:
+            base_tagged = base_tagged.unionByName(
+                tomb.select(
+                    *project_evolved(tomb),
+                    F.col(LSN_COL).alias("__lsn"),
+                    F.lit("tombstone").alias("__op"),
+                    F.lit(0).alias("__src"),
+                )
+            )
         upd_sel = [
             (
                 F.col(f.name).cast(f.dataType)
@@ -482,18 +563,21 @@ class LakeTable:
 
         # -- single-pass write + metrics ----------------------------
         # ONE Spark job writes everything: surviving rows land in
-        # _del=false, winning deletes in a quarantined _del=true dir
-        # (never referenced by the snapshot). Each row carries its
-        # merge _action; metrics are then a cheap column-pruned scan
-        # of the written files — no persist(), no second computation
-        # of the shuffle. (Iceberg analog: MERGE commit metrics.)
+        # _del=false; winning deletes AND carried tombstones land in
+        # _del=true files that the snapshot references as tombstones
+        # (retained so later stale events cannot resurrect the key).
+        # Each row carries its merge _action; metrics are then a cheap
+        # column-pruned scan of the written files — no persist(), no
+        # second computation of the shuffle. (Iceberg analog: MERGE
+        # commit metrics + equality-delete files.)
         action = (
-            F.when(F.col("__src") == 0, F.lit("noop"))  # base won
+            F.when(F.col("__op") == "tombstone", F.lit("noop"))  # carried
+            .when(F.col("__src") == 0, F.lit("noop"))  # base won
             .when(
                 (F.col("__op") == "delete") & (F.col("__all_chg") == 0),
                 F.lit("delete"),
             )
-            .when(F.col("__op") == "delete", F.lit("drop_insert_delete"))
+            .when(F.col("__op") == "delete", F.lit("dropped"))
             .when(F.col("__all_chg") == 0, F.lit("update"))
             .otherwise(F.lit("insert"))
         )
@@ -502,7 +586,7 @@ class LakeTable:
             F.col("__lsn").alias(LSN_COL),
             action.alias(_ACTION_COL),
             bexpr.alias(_BUCKET_COL),
-            (F.col("__op") == "delete").alias(_DEL_COL),
+            F.col("__op").isin("delete", "tombstone").alias(_DEL_COL),
         )
         out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
         # rows are already clustered one-bucket-per-task by the
@@ -510,6 +594,7 @@ class LakeTable:
         out.write.partitionBy(_BUCKET_COL, _DEL_COL).mode("overwrite").parquet(out_dir)
 
         new_files: dict[str, list[str]] = {}
+        new_tombs: dict[str, list[str]] = {}
         all_files: list[str] = []
         for entry in os.listdir(out_dir):
             if not entry.startswith(f"{_BUCKET_COL}="):
@@ -525,6 +610,8 @@ class LakeTable:
                 all_files.extend(flist)
                 if sub == f"{_DEL_COL}=false":
                     new_files[b] = sorted(new_files.get(b, []) + flist)
+                else:
+                    new_tombs[b] = sorted(new_tombs.get(b, []) + flist)
         part_counts = {int(b): len(fl) for b, fl in new_files.items()}
         counts = {}
         if all_files:
@@ -537,14 +624,19 @@ class LakeTable:
             }
 
         # carry untouched buckets forward (copy-on-write pruning);
-        # deltas for touched buckets were folded in, so clear them
+        # deltas and tombstones of touched buckets were folded in and
+        # re-emitted, so replace them with the fresh files
         files = dict(snap["files"])
         deltas = dict(snap.get("deltas", {}))
+        tombstones = dict(snap.get("tombstones", {}))
         for b in touched:
             files.pop(str(b), None)
             deltas.pop(str(b), None)
+            tombstones.pop(str(b), None)
         for b, flist in new_files.items():
             files[b] = flist
+        for b, flist in new_tombs.items():
+            tombstones[b] = flist
 
         new_version = snap["version"] + 1
         result = MergeResult(
@@ -553,6 +645,7 @@ class LakeTable:
             rows_updated=counts.get("update", 0),
             rows_deleted=counts.get("delete", 0),
             rows_noop=counts.get("noop", 0),
+            rows_dropped=counts.get("dropped", 0),
             touched_buckets=touched,
             partition_counts=part_counts,
         )
@@ -565,6 +658,7 @@ class LakeTable:
                 "num_buckets": n_buckets,
                 "files": files,
                 "deltas": deltas,
+                "tombstones": tombstones,
                 "summary": {"operation": "merge", **result.as_dict()},
             }
         )
@@ -619,6 +713,7 @@ class LakeTable:
                 "num_buckets": n_buckets,
                 "files": dict(snap["files"]),
                 "deltas": deltas,
+                "tombstones": dict(snap.get("tombstones", {})),
                 "summary": {"operation": "merge-mor", **result.as_dict()},
             }
         )
@@ -650,14 +745,21 @@ class LakeTable:
             if len(fl) >= min_delta_files
         ]
         if fold_buckets:
-            deltas_df = self._read_deltas(spark, snap, buckets=fold_buckets)
+            # an empty updates batch + explicit touched set: merge's own
+            # existing-deltas fold does the work, so delta files are read
+            # once, not twice
             schema = T.StructType.fromJson(json.loads(snap["schema"]))
-            updates = deltas_df.select(
-                *[f.name for f in schema.fields],
-                F.col(LSN_COL).alias("lsn"),
-                F.col(_OP_COL).alias("op"),
+            empty = spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("lsn", T.LongType()),
+                        T.StructField("op", T.StringType()),
+                    ]
+                ),
             )
-            self.merge(updates, mode="cow")
+            self.merge(empty, mode="cow", _touched_override=fold_buckets)
             snap = self.snapshot()
         to_rewrite = {
             b: fl for b, fl in snap["files"].items()
@@ -685,6 +787,10 @@ class LakeTable:
                 "key_cols": snap["key_cols"],
                 "num_buckets": snap["num_buckets"],
                 "files": files,
+                # unfolded deltas MUST carry forward — omitting this key
+                # silently dropped them from the snapshot (review find)
+                "deltas": dict(snap.get("deltas", {})),
+                "tombstones": dict(snap.get("tombstones", {})),
                 "summary": {
                     "operation": "compact",
                     "rewritten_buckets": sorted(int(b) for b in to_rewrite),
@@ -709,6 +815,8 @@ class LakeTable:
             for fl in snap["files"].values():
                 live.update(fl)
             for fl in snap.get("deltas", {}).values():
+                live.update(fl)
+            for fl in snap.get("tombstones", {}).values():
                 live.update(fl)
         removed = 0
         for root, _dirs, fnames in os.walk(self.data_dir):

@@ -51,18 +51,23 @@ def _update(key, pdfs, state: GroupState):
         if len(pdf):
             max_lsn = max(max_lsn, int(pdf["lsn"].max()))
             turns.update(int(t) for t in pdf["turn_idx"].dropna().unique())
+    s_turns = 0
     if state.exists:
         s_events, s_turns, s_maxlsn, s_set = state.get
         turns.update(s_set or [])
         events += s_events
         max_lsn = max(max_lsn, s_maxlsn)
+    # exact while the tracked set is below the cap; beyond it the count
+    # becomes a monotonic lower bound (never decreases across batches —
+    # max() against the stored count covers turns evicted from the set)
+    turn_count = max(len(turns), s_turns)
     tracked = sorted(turns)[:_MAX_TRACKED_TURNS]
-    state.update((events, len(turns), max_lsn, tracked))
+    state.update((events, turn_count, max_lsn, tracked))
     yield pd.DataFrame(
         {
             "conv_id": [key[0]],
             "events_seen": [events],
-            "turns_seen": [len(turns)],
+            "turns_seen": [turn_count],
             "max_lsn": [max_lsn],
         }
     )
