@@ -831,3 +831,64 @@ class LakeTable:
             if os.path.exists(p):
                 os.remove(p)
         return removed
+
+    def expire_tombstones(self, spark: SparkSession, below_lsn: int) -> int:
+        """Drop tombstone rows with _lsn < below_lsn (rewriting the
+        surviving ones per bucket). Returns tombstone rows removed.
+
+        SAFETY CONTRACT: below_lsn must not exceed the committed offset
+        watermark. Events with lsn below the watermark can never be
+        re-delivered through CdcRunner (their windows are
+        manifest-committed no-ops), so their tombstones are dead weight;
+        expiring above the watermark would re-open the resurrection
+        window the tombstones exist to close. This is the analog of
+        Iceberg's delete-file compaction against the sequence-number
+        horizon.
+        """
+        snap = self.snapshot()
+        tombs = snap.get("tombstones", {})
+        if not tombs:
+            return 0
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        stored = T.StructType(
+            list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
+        )
+        all_files = [f for fl in tombs.values() for f in fl]
+        df = spark.read.schema(stored).parquet(*all_files)
+        removed = df.filter(F.col(LSN_COL) < below_lsn).count()
+        if removed == 0:
+            return 0
+        survivors = df.filter(F.col(LSN_COL) >= below_lsn).withColumn(
+            _BUCKET_COL, self._bucket_expr()
+        )
+        out_dir = os.path.join(self.data_dir, f"t-{uuid.uuid4().hex}")
+        survivors.repartition(snap["num_buckets"], *[F.col(c) for c in snap["key_cols"]]) \
+            .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+        new_tombs: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{_BUCKET_COL}="):
+                b = entry.split("=")[1]
+                bdir = os.path.join(out_dir, entry)
+                new_tombs[b] = [
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                ]
+        self._commit(
+            {
+                "version": snap["version"] + 1,
+                "parent": snap["version"],
+                "schema": snap["schema"],
+                "key_cols": snap["key_cols"],
+                "num_buckets": snap["num_buckets"],
+                "files": dict(snap["files"]),
+                "deltas": dict(snap.get("deltas", {})),
+                "tombstones": new_tombs,
+                "summary": {
+                    "operation": "expire-tombstones",
+                    "below_lsn": below_lsn,
+                    "removed": removed,
+                },
+            }
+        )
+        return removed

@@ -124,3 +124,28 @@ def test_changegen_emits_exact_lsn_multiset(spark):
         assert lsns == list(range(1000)), f"seed {seed}: corrupted permutation"
         # and it actually IS out of order
         assert list(pdf["lsn"]) != sorted(pdf["lsn"])
+
+
+def test_tombstone_expiry_below_watermark(spark, tmp_path):
+    """Tombstones below the committed offset horizon can be expired;
+    newer tombstones survive and keep protecting their keys."""
+    t = make(tmp_path)
+    rows = [
+        ("insert", 1, "c1", 0, "user", "a", None, None),
+        ("insert", 2, "c2", 0, "user", "b", None, None),
+        ("delete", 10, "c1", 0, None, None, None, None),   # old tombstone
+        ("delete", 500, "c2", 0, None, None, None, None),  # recent tombstone
+    ]
+    for r in rows:
+        t.merge(spark.createDataFrame([r], schema=CHANGE_SCHEMA))
+    assert t.read(spark).count() == 0
+    removed = t.expire_tombstones(spark, below_lsn=100)
+    assert removed == 1
+    # the recent tombstone still blocks stale events
+    t.merge(spark.createDataFrame(
+        [("update", 400, "c2", 0, "user", "zombie", None, None)], schema=CHANGE_SCHEMA))
+    assert t.read(spark).count() == 0
+    # expiring nothing is a no-op (no new version)
+    v = t.current_version()
+    assert t.expire_tombstones(spark, below_lsn=100) == 0
+    assert t.current_version() == v
