@@ -712,7 +712,11 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS session_id
               FROM gaps
             )
-            SELECT user_id, max(session_id) + 1 AS sessions, count(*) AS events
+            -- CAST: DuckDB's integer sum/max yields HUGEINT -> float64 in
+            -- pandas, diverging from Spark's int64 on dtype (round-1 judge
+            -- adjudication: values identical, hash differed on dtype only)
+            SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS sessions,
+                   count(*) AS events
             FROM sess GROUP BY user_id
         """,
         "asof_join": """
@@ -797,7 +801,9 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_counts": """
             SELECT user_id,
                    """ + ", ".join(
-                       f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                       # CAST: HUGEINT sum -> float64 dtype artifact (see
+                       # sessionization note)
+                       f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
                        for t in _EVENT_TYPES
                    ) + """
             FROM events GROUP BY user_id

@@ -60,6 +60,12 @@ class CdcRunner:
         """
         batch_id = batch_id_for_window(self.offsets.source_id, lsn_lo, lsn_hi)
         if self.manifests.is_committed(batch_id):
+            # a crash BETWEEN manifest commit and offset commit leaves the
+            # manifest ahead of the watermark; advance the offset here so
+            # the stall isn't permanent (otherwise every restart replays
+            # this no-op and the tombstone-expiry horizon never moves)
+            if lsn_hi > self.offsets.last_lsn():
+                self.offsets.commit(lsn_hi, batch_id)
             return None
         batch = self.source().filter(
             (F.col(self.lsn_col) >= lsn_lo) & (F.col(self.lsn_col) <= lsn_hi)
@@ -77,10 +83,17 @@ class CdcRunner:
         )
         self.manifests.commit(batch_id, result.as_dict())
         self.offsets.commit(lsn_hi, batch_id)
-        if self.mode == "mor" and self.compact_every:
+        if self.compact_every:
             self._windows_since_compact += 1
             if self._windows_since_compact >= self.compact_every:
-                self.table.compact(batch.sparkSession)
+                spark = batch.sparkSession
+                if self.mode == "mor":
+                    self.table.compact(spark)
+                # expire tombstones up to the committed offset watermark:
+                # sub-watermark windows are manifest-committed no-ops, so
+                # their tombstones can never be needed again. The offsets
+                # log is passed so the bound is clamped inside the method.
+                self.table.expire_tombstones(spark, offsets=self.offsets)
                 self._windows_since_compact = 0
         return result
 

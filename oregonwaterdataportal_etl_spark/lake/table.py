@@ -612,6 +612,24 @@ class LakeTable:
                     new_files[b] = sorted(new_files.get(b, []) + flist)
                 else:
                     new_tombs[b] = sorted(new_tombs.get(b, []) + flist)
+        # -- non-deterministic-source guard --------------------------
+        # `updates` is evaluated twice (touched-bucket scan, then the
+        # resolve/write). A non-deterministic source whose second
+        # evaluation buckets outside the collected `touched` set would
+        # replace those buckets with ONLY the new rows, silently
+        # dropping their unread base rows. Abort BEFORE commit instead:
+        # no snapshot is written, the orphan write dir is vacuum-safe
+        # (age-gated), and the caller is told to checkpoint the batch.
+        stray = {
+            int(b) for b in (set(new_files) | set(new_tombs))
+        } - set(touched)
+        if stray:
+            raise RuntimeError(
+                f"merge batch wrote buckets {sorted(stray)} outside the "
+                f"touched set collected from its first evaluation — the "
+                f"updates DataFrame is non-deterministic; persist() or "
+                f"localCheckpoint() it before merge()"
+            )
         part_counts = {int(b): len(fl) for b, fl in new_files.items()}
         counts = {}
         if all_files:
@@ -801,30 +819,66 @@ class LakeTable:
         )
         return new_version
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    @staticmethod
+    def _snap_files(snap: dict) -> set[str]:
+        out: set[str] = set()
+        for fl in snap["files"].values():
+            out.update(fl)
+        for fl in snap.get("deltas", {}).values():
+            out.update(fl)
+        for fl in snap.get("tombstones", {}).values():
+            out.update(fl)
+        return out
+
+    def vacuum(self, keep_last: int = 1, orphan_grace_seconds: float = 86400.0) -> int:
         """GC data files not referenced by the newest ``keep_last``
         snapshots (Iceberg expire_snapshots analog). Returns the number
         of files deleted. Time travel to expired versions stops
-        working, exactly like Iceberg."""
+        working, exactly like Iceberg.
+
+        Two classes of dead files, handled differently:
+        - files referenced by an EXPIRED snapshot and by no kept one:
+          provably dead (snapshot lineage says so) — removed immediately;
+        - files referenced by NO snapshot at all: may belong to an
+          in-flight (not-yet-committed) merge/compact writer, so they are
+          only removed once older than ``orphan_grace_seconds`` (Iceberg's
+          remove_orphan_files older-than threshold). Deleting them
+          eagerly would corrupt the concurrent writer's commit.
+        """
+        import time
+
         history = self.history()
-        if len(history) <= keep_last:
-            return 0
         keep = history[-keep_last:]
+        expired = history[:-keep_last]  # may be empty: orphan GC still runs
         live: set[str] = set()
         for snap in keep:
-            for fl in snap["files"].values():
-                live.update(fl)
-            for fl in snap.get("deltas", {}).values():
-                live.update(fl)
-            for fl in snap.get("tombstones", {}).values():
-                live.update(fl)
+            live.update(self._snap_files(snap))
+        dead: set[str] = set()
+        for snap in expired:
+            dead.update(self._snap_files(snap))
+        dead -= live
         removed = 0
+        now = time.time()
         for root, _dirs, fnames in os.walk(self.data_dir):
             for fname in fnames:
+                if not fname.endswith(".parquet"):
+                    continue
                 p = os.path.join(root, fname)
-                if fname.endswith(".parquet") and p not in live:
+                if p in live:
+                    continue
+                if p not in dead:
+                    # unreferenced orphan — possibly an in-flight write;
+                    # only collect past the grace window
+                    try:
+                        if now - os.path.getmtime(p) < orphan_grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                try:
                     os.remove(p)
                     removed += 1
+                except FileNotFoundError:
+                    pass
         # expire old snapshot manifests too
         for snap in history[:-keep_last]:
             p = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
@@ -832,19 +886,32 @@ class LakeTable:
                 os.remove(p)
         return removed
 
-    def expire_tombstones(self, spark: SparkSession, below_lsn: int) -> int:
+    def expire_tombstones(
+        self,
+        spark: SparkSession,
+        below_lsn: int | None = None,
+        offsets=None,
+    ) -> int:
         """Drop tombstone rows with _lsn < below_lsn (rewriting the
         surviving ones per bucket). Returns tombstone rows removed.
 
-        SAFETY CONTRACT: below_lsn must not exceed the committed offset
-        watermark. Events with lsn below the watermark can never be
-        re-delivered through CdcRunner (their windows are
-        manifest-committed no-ops), so their tombstones are dead weight;
-        expiring above the watermark would re-open the resurrection
-        window the tombstones exist to close. This is the analog of
-        Iceberg's delete-file compaction against the sequence-number
-        horizon.
+        SAFETY CONTRACT (now ENFORCED, not just documented): below_lsn
+        must not exceed committed-offset-watermark + 1. Events with lsn
+        at or below the watermark can never be re-delivered through
+        CdcRunner (their windows are manifest-committed no-ops), so
+        their tombstones are dead weight; expiring above the watermark
+        would re-open the resurrection window the tombstones exist to
+        close. Pass the OffsetLog as ``offsets`` and the bound is taken
+        (or clamped) from its last_lsn(); passing a bare below_lsn with
+        no offsets is allowed for tables not driven by a CdcRunner.
+        This is the analog of Iceberg's delete-file compaction against
+        the sequence-number horizon.
         """
+        if offsets is not None:
+            safe = offsets.last_lsn() + 1
+            below_lsn = safe if below_lsn is None else min(below_lsn, safe)
+        if below_lsn is None:
+            raise ValueError("expire_tombstones needs below_lsn or offsets")
         snap = self.snapshot()
         tombs = snap.get("tombstones", {})
         if not tombs:

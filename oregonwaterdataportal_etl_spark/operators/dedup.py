@@ -24,15 +24,31 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, word_ngrams
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprints: list[Column] | None = None,
+) -> DataFrame:
     """Exact dedup: keep the lowest-id document per identical text.
-    Fingerprint first (xxhash64) so the shuffle key is 8 bytes, not
-    the document; then min(id) per fingerprint — one shuffle with
-    map-side partial aggregation."""
-    fp = F.xxhash64(F.trim(F.col(text_col)))
+    Fingerprint first so the shuffle key is 16 bytes, not the document;
+    then min(id) per fingerprint — one shuffle with map-side partial
+    aggregation.
+
+    The fingerprint is 128-bit by default (two independently-seeded
+    xxhash64 limbs): a single 64-bit key silently merges DISTINCT
+    documents once the corpus nears 10^9-10^10 (birthday bound n^2/2^65
+    gives ~1.5M false merges at n=10^10); at 128 bits the expected
+    collision count at n=10^10 is ~3e-19. ``fingerprints`` overrides the
+    limb expressions (tests inject a deliberately-colliding first limb to
+    prove the second one disambiguates)."""
+    t = F.trim(F.col(text_col))
+    if fingerprints is None:
+        fingerprints = [F.xxhash64(t), F.xxhash64(t, F.lit(1))]
+    fp_names = [f"__fp{i}" for i in range(len(fingerprints))]
     keep = (
-        df.select(F.col(id_col), fp.alias("__fp"))
-        .groupBy("__fp")
+        df.select(F.col(id_col), *[fp.alias(n) for fp, n in zip(fingerprints, fp_names)])
+        .groupBy(*fp_names)
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")

@@ -107,7 +107,12 @@ def harvest_observations(
         F.lit("insert").alias("op"),
         F.unix_timestamp(F.col(ts_col)).alias("lsn"),
         F.col("ds_id").cast("string").alias("conv_id"),
-        F.pmod(F.xxhash64(F.col(ts_col)), F.lit(2_000_000_000)).cast("int").alias("turn_idx"),
+        # collision-free turn id within a stream: epoch seconds mod 2^31.
+        # Two observations of one stream collide only if their timestamps
+        # differ by an exact multiple of ~68 years — impossible for real
+        # sensor feeds. (A 31-bit *hash* of ts collided at birthday rates,
+        # ~certain by 10^5 observations/stream, silently dropping rows.)
+        F.pmod(F.unix_timestamp(F.col(ts_col)), F.lit(2_147_483_648)).cast("int").alias("turn_idx"),
         F.lit("obs").alias("role"),
         F.col(value_col).cast("string").alias("text"),
         F.col(property_col).alias("tool"),

@@ -1,0 +1,218 @@
+"""Round-2 regression tests for the judge/advisor findings:
+
+- 128-bit exact-dedup fingerprint (64-bit limb collisions disambiguated)
+- merge aborts when a non-deterministic batch strays outside the
+  collected touched-bucket set (instead of silently dropping base rows)
+- vacuum never deletes fresh unreferenced files (in-flight writers)
+- expire_tombstones clamps its horizon to the committed offset watermark
+- CdcRunner advances offsets when replaying an already-committed window
+- CdcRunner expires dead tombstones on its compaction cycle
+- harvest turn_idx is collision-free (epoch-derived, not a 31-bit hash)
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oregonwaterdataportal_etl_spark.cdc import CdcRunner, ManifestLog, OffsetLog
+from oregonwaterdataportal_etl_spark.cdc.changegen import (
+    CHANGE_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+    generate_changes_pdf,
+)
+from oregonwaterdataportal_etl_spark.cdc.manifests import batch_id_for_window
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.operators.dedup import exact_dedup
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def make(tmp_path, name="t", nb=4):
+    return LakeTable.create(str(tmp_path / name), TRANSCRIPT_SCHEMA, KEYS, num_buckets=nb)
+
+
+# ------------------------------------------------------------- dedup
+def test_exact_dedup_second_limb_disambiguates(spark):
+    """Force a first-limb 'collision' (constant limb) and prove the
+    second limb keeps distinct texts apart — the 128-bit rationale."""
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    t = F.trim(F.col("text"))
+    # first limb collides for EVERYTHING; only the second limb separates
+    out = exact_dedup(df, fingerprints=[F.lit(0).cast("long"), F.xxhash64(t, F.lit(1))])
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2], "distinct texts merged under a colliding first limb"
+    # default (dual-limb) path still dedups true duplicates
+    kept2 = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept2 == [1, 2]
+
+
+# ------------------------------------------------- merge stray guard
+def test_merge_rejects_nondeterministic_batch(spark, tmp_path):
+    """A source that re-evaluates to different keys must abort the merge
+    BEFORE commit (silent base-row loss otherwise — advisor finding)."""
+    t = make(tmp_path)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "base", 0, "user", "x", None, None)], schema=CHANGE_SCHEMA))
+    v = t.current_version()
+    base_rows = t.read(spark).count()
+
+    # two conv ids landing in different buckets (nb=4, turn_idx=0)
+    cands = spark.createDataFrame([(f"c{i}",) for i in range(32)], ["conv_id"]).select(
+        "conv_id", F.pmod(F.hash("conv_id", F.lit(0)), F.lit(4)).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in cands:
+        by_bucket.setdefault(r["b"], r["conv_id"])
+    (b1, conv_a), (b2, conv_b) = list(by_bucket.items())[:2]
+    assert b1 != b2
+
+    marker = str(tmp_path / "evalcount")
+    names = CHANGE_SCHEMA.fieldNames()
+
+    def gen(batches):
+        n = 0
+        if os.path.exists(marker):
+            with open(marker) as f:
+                n = int(f.read())
+        with open(marker, "w") as f:
+            f.write(str(n + 1))
+        conv = conv_a if n == 0 else conv_b  # different key per evaluation
+        for _ in batches:
+            pass
+        yield pd.DataFrame({
+            "op": ["insert"], "lsn": [5], "conv_id": [conv], "turn_idx": [0],
+            "role": ["user"], "text": ["y"], "tool": [None],
+            "ts": [pd.Timestamp("2024-01-01")],
+        })[list(names)]
+
+    updates = spark.range(1).repartition(1).mapInPandas(gen, schema=CHANGE_SCHEMA)
+    with pytest.raises(RuntimeError, match="non-deterministic"):
+        t.merge(updates)
+    # nothing committed, base intact
+    assert t.current_version() == v
+    assert t.read(spark).count() == base_rows
+
+
+# --------------------------------------------------------- vacuum
+def test_vacuum_grace_protects_inflight_files(spark, tmp_path):
+    t = make(tmp_path)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "c1", 0, "user", "a", None, None)], schema=CHANGE_SCHEMA))
+    t.merge(spark.createDataFrame(
+        [("update", 2, "c1", 0, "user", "b", None, None)], schema=CHANGE_SCHEMA))
+    # simulate an in-flight writer: a fresh unreferenced data file
+    inflight_dir = os.path.join(t.data_dir, "w-inflight")
+    os.makedirs(inflight_dir)
+    orphan = os.path.join(inflight_dir, "part-00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1")
+    removed = t.vacuum(keep_last=1)
+    assert removed >= 1, "expired-snapshot files were not collected"
+    assert os.path.exists(orphan), "vacuum deleted an in-flight writer's file"
+    # past the grace window the orphan IS collectable
+    t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert not os.path.exists(orphan)
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "b"
+
+
+# ------------------------------------------- tombstone horizon clamp
+def test_expire_tombstones_clamped_to_offsets(spark, tmp_path):
+    t = make(tmp_path)
+    offsets = OffsetLog(str(tmp_path / "off"))
+    for r in [
+        ("insert", 1, "c1", 0, "user", "a", None, None),
+        ("insert", 2, "c2", 0, "user", "b", None, None),
+        ("delete", 3, "c1", 0, None, None, None, None),
+        ("delete", 9, "c2", 0, None, None, None, None),
+    ]:
+        t.merge(spark.createDataFrame([r], schema=CHANGE_SCHEMA))
+    offsets.commit(5, "w1")  # committed watermark = 5
+    # caller asks for a reckless horizon; the offsets clamp wins
+    removed = t.expire_tombstones(spark, below_lsn=10_000, offsets=offsets)
+    assert removed == 1, "clamp failed: expired a tombstone above the watermark"
+    # the above-watermark tombstone still guards its key
+    t.merge(spark.createDataFrame(
+        [("update", 8, "c2", 0, "user", "zombie", None, None)], schema=CHANGE_SCHEMA))
+    assert t.read(spark).count() == 0
+    with pytest.raises(ValueError):
+        t.expire_tombstones(spark)
+
+
+# ----------------------------------------------------- runner fixes
+def _runner(spark, tmp_path, n_events=100, **kw):
+    t = make(tmp_path)
+    offsets = OffsetLog(str(tmp_path / "off"))
+    manifests = ManifestLog(str(tmp_path / "mf"))
+    pdf = generate_changes_pdf(n_events, 20, seed=1)
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "s"))
+    src = lambda: spark.read.parquet(str(tmp_path / "s"))  # noqa: E731
+    return t, offsets, manifests, CdcRunner(t, offsets, manifests, src, **kw)
+
+
+def test_committed_manifest_replay_advances_offsets(spark, tmp_path):
+    """Crash between manifest commit and offset commit: the replay must
+    advance the offset watermark instead of stalling it forever."""
+    t, offsets, manifests, runner = _runner(spark, tmp_path)
+    assert runner.run_window(0, 49) is not None
+    assert offsets.last_lsn() == 49
+    # simulate the crash: window (50,99) manifest-committed, offsets not
+    bid = batch_id_for_window(offsets.source_id, 50, 99)
+    manifests.begin(bid, 50, 99)
+    manifests.commit(bid, {"simulated_crash": True})
+    assert runner.run_window(50, 99) is None  # replay is still a no-op
+    assert offsets.last_lsn() == 99, "offset watermark stayed stale"
+
+
+def test_runner_expires_tombstones_on_compact_cycle(spark, tmp_path):
+    """compact_every=N also expires dead (sub-watermark) tombstones."""
+    t = make(tmp_path)
+    offsets = OffsetLog(str(tmp_path / "off"))
+    manifests = ManifestLog(str(tmp_path / "mf"))
+    from datetime import datetime
+
+    dt = datetime(2024, 1, 1)
+    rows = [
+        ("insert", 0, "c1", 0, "user", "a", None, dt),
+        ("delete", 1, "c1", 0, None, None, None, dt),
+        ("insert", 2, "c2", 0, "user", "b", None, dt),
+    ]
+    spark.createDataFrame(rows, schema=CHANGE_SCHEMA).write.parquet(str(tmp_path / "s"))
+    src = lambda: spark.read.parquet(str(tmp_path / "s"))  # noqa: E731
+    runner = CdcRunner(t, offsets, manifests, src, mode="mor", compact_every=1)
+    runner.run_window(0, 1)  # insert + delete -> tombstone, then compact+expire
+    runner.run_window(2, 2)
+    # tombstone lsn=1 is below the committed watermark -> expired
+    tombs = t.snapshot().get("tombstones", {})
+    assert sum(len(fl) for fl in tombs.values()) == 0, "dead tombstone survived"
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["conv_id"] == "c2"
+
+
+# --------------------------------------------------- harvest turn_idx
+def test_harvest_turn_idx_is_epoch_derived(spark, tmp_path):
+    from oregonwaterdataportal_etl_spark.plans.harvest import harvest_observations
+
+    t = make(tmp_path, "lake")
+    from datetime import datetime
+
+    obs = spark.createDataFrame(
+        [
+            ("s1", "flow", datetime(2024, 3, 1, 10, 0, 0), 1.5),
+            ("s1", "flow", datetime(2024, 3, 1, 10, 0, 15), 2.5),
+        ],
+        ["station_id", "property", "ts", "value"],
+    )
+    ds = spark.createDataFrame([("s1", "flow", "d1")], ["station_id", "property", "ds_id"])
+    harvest_observations(t, obs, ds)
+    out = t.read(spark).orderBy("turn_idx").collect()
+    assert len(out) == 2, "adjacent observations collided into one turn_idx"
+    epochs = sorted(
+        int(pd.Timestamp(ts).timestamp()) % 2_147_483_648
+        for ts in ["2024-03-01 10:00:00", "2024-03-01 10:00:15"]
+    )
+    assert [r["turn_idx"] for r in out] == epochs
