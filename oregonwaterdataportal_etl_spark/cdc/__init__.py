@@ -3,8 +3,10 @@ from .offsets import OffsetLog
 from .manifests import ManifestLog
 from .apply import lww_dedup, apply_batch, oracle_fold
 from .runner import CdcRunner
+from .watermarks import WatermarkStore
 
 __all__ = [
+    "WatermarkStore",
     "CHANGE_SCHEMA",
     "TRANSCRIPT_SCHEMA",
     "generate_changes",

@@ -23,6 +23,34 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, word_ngrams
 
+# Cross-engine hash machinery. xxhash64 is the fast path (JVM intrinsic)
+# but is not expressible in ANSI SQL, so near-dup results could only be
+# rows-checked against the DuckDB oracle. hash_family="md5" swaps in a
+# universal-hash family over a 60-bit md5-prefix base hash — identical
+# arithmetic is expressible in DuckDB (cast(concat('0x', substr(md5(s),
+# 1,15)) as bigint)), making the full near-dup pipeline value-checkable
+# cross-engine. Family i: (a_i * h + b_i) mod P over h = base mod P,
+# with P = 2^31 - 1 (products stay under 2^62: ANSI-overflow-safe).
+MD5_PRIME = 2_147_483_647
+
+
+def md5_family_constants(num_hashes: int, seed: int = 9) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) universal-hash constants, shared by the
+    Spark operators and the generated DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MD5_PRIME, size=num_hashes).tolist()
+    b = rng.integers(0, MD5_PRIME, size=num_hashes).tolist()
+    return a, b
+
+
+def md5_base_hash(col: Column) -> Column:
+    """60-bit base hash: first 15 hex chars of md5 as a non-negative
+    long — bit-identical to DuckDB's
+    cast(concat('0x', substr(md5(s),1,15)) as bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
 
 def exact_dedup(
     df: DataFrame,
@@ -55,22 +83,36 @@ def exact_dedup(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 64, k: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature array per document: for each of num_hashes
     seeded hash functions, min over shingle hashes. Expression-only:
-    transform(hashes, h -> array_min(transform(shingles, s ->
-    xxhash64(s, seed=h))))."""
-    # Hash every shingle to a long ONCE (the expensive string hash),
-    # then derive the num_hashes families by re-hashing that LONG with
-    # a per-family seed — integer-width xxhash64, ~30x cheaper than
-    # re-hashing the string per family (and ANSI-safe: no overflow).
-    def family(i):
-        return lambda h: F.xxhash64(h, F.lit(i))
+    transform(hashes, h -> array_min(transform(shingles, s -> f_i(s)))).
 
-    out = df.withColumn(
-        "__h", F.transform(shingles(text_col, k=k), lambda s: F.xxhash64(s))
-    )
+    hash_family="xxhash64" (default, fastest) or "md5" (DuckDB-oracle-
+    expressible universal family, see module header)."""
+    # Hash every shingle to a long ONCE (the expensive string hash),
+    # then derive the num_hashes families by cheap integer arithmetic
+    # on that long — ~30x cheaper than re-hashing the string per family
+    # (and ANSI-safe: no overflow in either family).
+    if hash_family == "md5":
+        a_c, b_c = md5_family_constants(num_hashes)
+
+        def family(i):
+            return lambda h: F.pmod(F.lit(a_c[i]) * h + F.lit(b_c[i]), F.lit(MD5_PRIME))
+
+        base = lambda s: F.pmod(md5_base_hash(s), F.lit(MD5_PRIME))  # noqa: E731
+    else:
+
+        def family(i):
+            return lambda h: F.xxhash64(h, F.lit(i))
+
+        base = lambda s: F.xxhash64(s)  # noqa: E731
+    out = df.withColumn("__h", F.transform(shingles(text_col, k=k), base))
     sigs = F.array(
         *[
             F.array_min(F.transform(F.col("__h"), family(i)))
@@ -89,11 +131,20 @@ def minhash_lsh_pairs(
     k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 2000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
     by estimated Jaccard (signature agreement rate).
 
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b. est_jaccard is
+    the exact agreement fraction (agree / num_hashes, unrounded): both
+    engines compute the identical int/int double division, so the value
+    is bit-stable cross-engine.
+
+    hash_family="md5" makes the whole pipeline (signatures, banding,
+    verification) replicable in ANSI SQL — the DuckDB oracle for this
+    operator is generated from the same constants (see
+    __spark_entry__.py). xxhash64 stays the at-scale default.
 
     max_bucket_size guards the candidate self-join against pathological
     corpora (a band bucket holding m ids yields m^2 pairs): buckets
@@ -108,26 +159,27 @@ def minhash_lsh_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    sig = minhash_signatures(src, text_col, num_hashes, k)
+    sig = minhash_signatures(src, text_col, num_hashes, k, hash_family)
     # signatures are computed once and reused on both sides of two
     # joins — persist to avoid re-shingling the corpus three times
     sig = sig.select(id_col, "minhash").persist()
+
+    def band_bucket(i):
+        sl = F.slice("minhash", i * rows_per_band + 1, rows_per_band)
+        if hash_family == "md5":
+            # md5 hex of the comma-joined slice — replicated verbatim by
+            # the oracle's md5(string_agg(mh, ',' ORDER BY f))
+            return F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
+        return F.xxhash64(sl, F.lit(i)).cast("string")
+
     try:
         # band key = hash of the band's signature slice; candidate
-        # generation shuffles ONLY (band, bucket, id) — 24 bytes/row —
-        # never the signature arrays
+        # generation shuffles ONLY (band, bucket, id) — never the
+        # signature arrays
         banded = sig.select(
             F.col(id_col),
             F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.slice("minhash", i * rows_per_band + 1, rows_per_band),
-                            F.lit(i),
-                        )
-                        for i in range(bands)
-                    ]
-                )
+                F.array(*[band_bucket(i) for i in range(bands)])
             ).alias("band", "bucket"),
         )
         if max_bucket_size is not None:
@@ -160,7 +212,7 @@ def minhash_lsh_pairs(
             F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v)
         ) / F.size("__sig_a")
         out = (
-            pairs.withColumn("est_jaccard", F.round(est, 4))
+            pairs.withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "est_jaccard")
         )
@@ -170,25 +222,37 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash64(col: Column | str, k: int = 5) -> Column:
-    """64-bit SimHash over character shingles, expression-only.
+def simhash64(col: Column | str, k: int = 5, hash_family: str = "xxhash64") -> Column:
+    """SimHash over character shingles, expression-only.
 
-    For each bit b: sum over shingles of sign(bit b of xxhash64) and
-    take the majority. aggregate() folds the +/-1 votes per bit."""
+    For each bit b: sum over shingles of sign(bit b of the shingle
+    hash) and take the majority. The shingle set is hashed ONCE into a
+    long array; aggregate() then folds the +/-1 votes per bit over the
+    longs (cheap integer ops, not repeated string hashing).
+
+    hash_family="xxhash64": 64-bit signature. "md5": 60-bit signature
+    (15-hex md5 prefix; all bits non-negative longs) — replicable in
+    DuckDB SQL for the oracle."""
     sh = shingles(col, k=k)
+    if hash_family == "md5":
+        nbits = 60
+        hashed = F.transform(sh, md5_base_hash)
+    else:
+        nbits = 64
+        hashed = F.transform(sh, lambda s: F.xxhash64(s))
 
     def voter(mask):
         # factory closure: F.aggregate inspects lambda arity, so the
         # mask must be captured, not passed as a default argument
-        return lambda acc, s: acc + F.when(
-            F.xxhash64(s).bitwiseAND(mask) != 0, 1
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, 1
         ).otherwise(-1)
 
     bits = []
-    for b in range(64):
+    for b in range(nbits):
         mval = (1 << b) if b < 63 else -(1 << 63)  # signed-long-safe bit 63
         mask = F.lit(mval).cast("long")
-        vote = F.aggregate(sh, F.lit(0).cast("long"), voter(mask))
+        vote = F.aggregate(hashed, F.lit(0).cast("long"), voter(mask))
         bits.append(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for bcol in bits[1:]:
@@ -197,19 +261,28 @@ def simhash64(col: Column | str, k: int = 5) -> Column:
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming<=3 implies >=1 identical chunk),
-    self-join on (chunk_idx, chunk), verify exact Hamming distance."""
-    sig = df.select(id_col, simhash64(text_col).alias("__sim"))
+    """SimHash near-dup pairs: band the signature into 4 chunks
+    (pigeonhole: hamming<=3 implies >=1 identical chunk), self-join on
+    (chunk_idx, chunk), verify exact Hamming distance.
+
+    Chunks are 16-bit for the 64-bit xxhash64 signature, 15-bit for the
+    60-bit md5 one."""
+    cbits = 15 if hash_family == "md5" else 16
+    cmask = (1 << cbits) - 1
+    sig = df.select(id_col, simhash64(text_col, hash_family=hash_family).alias("__sim"))
     chunks = sig.select(
         id_col,
         "__sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("__sim", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("__sim", cbits * i).bitwiseAND(F.lit(cmask))
                     for i in range(4)
                 ]
             )

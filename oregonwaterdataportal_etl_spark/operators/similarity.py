@@ -92,6 +92,27 @@ def add_hyperplane_bucket(
     return df.withColumn("__bucket", bucket)
 
 
+def lsh_probe_buckets(
+    query: list[float], bits: int = 8, seed: int = 7, probes: int = 1
+) -> list[int]:
+    """Buckets to probe for a query: its own hyperplane bucket plus the
+    `probes`-1 buckets flipping the smallest-|margin| bits (multi-probe
+    LSH). Factored out so the generated DuckDB oracle SQL uses the
+    EXACT same probe set as the Spark operator."""
+    planes = _hyperplanes(len(query), bits, seed)
+    margins = planes @ np.asarray(query, dtype=float)
+    qbucket = 0
+    for i in range(bits):
+        if margins[i] > 0:
+            qbucket |= 1 << i
+    order = np.argsort(np.abs(margins))
+    buckets = [qbucket]
+    for j in range(max(probes - 1, 0)):
+        if j < bits:
+            buckets.append(qbucket ^ (1 << int(order[j])))
+    return buckets
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
@@ -107,19 +128,7 @@ def lsh_topk(
     re-rank within candidates. At scale the bucket column is a
     partition/cluster key, so the scan prunes to ~1/2^bits of data."""
     dim = len(query)
-    planes = _hyperplanes(dim, bits, seed)
-    qv = np.asarray(query, dtype=float)
-    margins = planes @ qv
-    qbucket = 0
-    for i in range(bits):
-        if margins[i] > 0:
-            qbucket |= 1 << i
-    # multi-probe: also visit buckets flipping the smallest-margin bits
-    order = np.argsort(np.abs(margins))
-    buckets = [qbucket]
-    for j in range(max(probes - 1, 0)):
-        if j < bits:
-            buckets.append(qbucket ^ (1 << int(order[j])))
+    buckets = lsh_probe_buckets(query, bits, seed, probes)
     with_b = add_hyperplane_bucket(df, vec_col, bits=bits, seed=seed, dim=dim)
     candidates = with_b.filter(F.col("__bucket").isin(buckets))
     # exact re-rank inside candidate buckets = the brute-force operator
@@ -178,6 +187,77 @@ def knn_join_pandas(
     scored = corpus.mapInPandas(
         scorer, schema="query_id long, corpus_id long, cosine double"
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    broadcast_threshold: int = 10_000,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Batch kNN join for ANY query-set size.
+
+    - query side <= broadcast_threshold rows: the broadcast-matmul path
+      (knn_join_pandas): queries collected once, corpus streamed.
+    - larger query sides: fully distributed block nested-loop — the
+      corpus is hashed into B blocks, queries are replicated to every
+      block (shuffle = corpus x1 + queries xB), a cogrouped Arrow
+      matmul scores each (corpus-block, query-set) pair with a
+      per-block partial top-k, and a ranking window finishes globally.
+      Neither side is ever materialized on the driver. B defaults to
+      the cluster parallelism; size it so one corpus block plus the
+      query matrix fits an executor's Arrow batch memory.
+    """
+    nq = queries.count()
+    if nq <= broadcast_threshold:
+        return knn_join_pandas(corpus, queries, id_col, vec_col, k)
+    spark = corpus.sparkSession
+    n_blocks = num_blocks or spark.sparkContext.defaultParallelism
+    cb = corpus.select(id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("__blk"))
+    qb = queries.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    ).crossJoin(blocks)
+
+    def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame):
+        out_schema = {"query_id": "int64", "corpus_id": "int64", "cosine": "float64"}
+        if cpdf.empty or qpdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_schema.items()})
+        cmat = np.array(list(cpdf[vec_col]), dtype=np.float64)
+        qmat = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        sims = (cmat @ qmat.T) / np.outer(
+            np.linalg.norm(cmat, axis=1), np.linalg.norm(qmat, axis=1)
+        )
+        res = pd.DataFrame(
+            {
+                "query_id": np.repeat(qpdf["__qid"].to_numpy(), len(cpdf)),
+                "corpus_id": np.tile(cpdf[id_col].to_numpy(), len(qpdf)),
+                "cosine": np.round(sims.T.reshape(-1), 4),
+            }
+        )
+        res = res.sort_values(
+            ["query_id", "cosine", "corpus_id"], ascending=[True, False, True]
+        )
+        return res.groupby("query_id", sort=False).head(k)
+
+    scored = (
+        cb.groupBy("__blk")
+        .cogroup(qb.groupBy("__blk"))
+        .applyInPandas(score, schema="query_id long, corpus_id long, cosine double")
+    )
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -64,6 +64,7 @@ def harvest_observations(
     ts_col: str = "ts",
     value_col: str = "value",
     valid_range: tuple | None = None,
+    watermarks=None,
 ) -> MergeResult:
     """Incremental observation harvest into the lake table.
 
@@ -76,6 +77,13 @@ def harvest_observations(
     (watermark, now] delta window; the merge's LSN guard then makes
     any survivors idempotent anyway (belt and braces, exactly like
     the reference's dedup-guard + duplicate-rejecting sink).
+
+    watermarks: optional cdc.WatermarkStore. With it, the per-stream
+    watermark is an O(n_streams) side-table read updated incrementally
+    after each merge (the FROST indexed-range-read analog,
+    userCode/helper_classes.py:131-162) — the base table is NEVER
+    scanned for watermarks. Without it, fall back to aggregating the
+    sink (full base scan per batch — fine for small tables only).
     """
     spark = observations.sparkSession
     obs = observations.join(
@@ -83,16 +91,26 @@ def harvest_observations(
         on=[station_col, property_col],
         how="inner",
     )
-    # per-stream watermark from the sink (reference reads the stream's
-    # phenomenonTime range back from FROST, helper_classes.py:131-162)
-    existing = table.read(spark)
-    if existing.take(1):
+    if watermarks is not None:
+        wm_df = watermarks.read(spark)
+        if wm_df is not None:
+            wm = wm_df.select(
+                F.col(watermarks.key_col).alias("__k"),
+                F.col(watermarks.wm_col).alias("__wm"),
+            )
+            obs = newer_than_watermark(
+                obs.withColumn("__k", F.col("ds_id").cast("string")),
+                wm, "__k", ts_col, "__wm",
+            ).drop("__k")
+    elif table.read(spark).take(1):
+        # legacy path: per-stream watermark aggregated from the sink
+        existing = table.read(spark)
         wm = time_range_per_key(
             existing, ["conv_id"], "ts"
         ).select(F.col("conv_id").alias("__k"), F.col("range_end").alias("__wm"))
         obs = newer_than_watermark(
             obs.withColumn("__k", F.col("ds_id").cast("string")),
-            wm.withColumnRenamed("__k", "__k"),
+            wm,
             "__k",
             ts_col,
             "__wm",
@@ -118,4 +136,11 @@ def harvest_observations(
         F.col(property_col).alias("tool"),
         F.col(ts_col).alias("ts"),
     )
-    return table.merge(changes)
+    result = table.merge(changes)
+    if watermarks is not None:
+        watermarks.update(
+            changes.groupBy(F.col("conv_id").alias(watermarks.key_col)).agg(
+                F.max("ts").alias(watermarks.wm_col)
+            )
+        )
+    return result

@@ -133,6 +133,24 @@ def test_simhash_pairs(spark, docs):
     assert all(4 not in k and 5 not in k for k in got)
 
 
+def test_minhash_md5_family_equivalent(spark, docs):
+    """The DuckDB-expressible md5 hash family finds the same duplicate
+    structure as the xxhash64 fast path."""
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_family="md5")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0  # exact dup: all 64 positions agree
+    assert all((4 not in p and 5 not in p) for p in got)
+    # est is an exact multiple of 1/num_hashes (unrounded by design)
+    assert all(abs(v * 64 - round(v * 64)) < 1e-12 for v in got.values())
+
+
+def test_simhash_md5_family(spark, docs):
+    pairs = dedup.simhash_dedup_pairs(docs, max_hamming=3, hash_family="md5")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert all(4 not in k and 5 not in k for k in got)
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
@@ -184,6 +202,19 @@ def test_knn_join(spark, vectors):
     for q, rs in by_q.items():
         assert len(rs) == 3
         assert rs[0]["corpus_id"] == q  # self is nearest
+
+
+def test_knn_join_block_path_matches_broadcast(spark, vectors):
+    """The distributed block nested-loop path (no driver collect of the
+    query side) returns exactly the broadcast path's answer."""
+    df, base = vectors
+    queries = df.filter(F.col("vec_id") < 4)
+    bc = similarity.knn_join_pandas(df, queries, k=3)
+    blk = similarity.knn_join(
+        df, queries, k=3, broadcast_threshold=0, num_blocks=3
+    )
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine"])  # noqa: E731
+    assert sorted(map(key, blk.collect())) == sorted(map(key, bc.collect()))
 
 
 # ------------------------------------------------------------------ as-of
