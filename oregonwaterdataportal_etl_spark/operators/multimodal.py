@@ -44,9 +44,16 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_one(payload: bytes, mime: str) -> np.ndarray:
-    """STUB decode: a real deployment replaces this with PIL / ffmpeg /
-    librosa. Here: deterministic fake features derived from payload
-    bytes so tests are stable without codec libraries."""
+    """Decode + featurize one payload.
+
+    image/png with a valid signature: REAL decode via the in-tree
+    pure-stdlib codec (pngcodec.py) -> 32-bin luminance histogram.
+    Other image/audio/video mimes: deterministic sha256-derived fake
+    features (STUB — swap for PIL/ffmpeg/librosa on a real cluster)."""
+    from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
+
+    if mime == "image/png" and payload.startswith(PNG_MAGIC):
+        return luminance_histogram(decode_png(payload), bins=32)
     if mime.startswith(("image/", "audio/", "video/")):
         digest = hashlib.sha256(payload).digest()
         return np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0
@@ -83,9 +90,11 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing — STUB raises at execution time for real
-    decode; the plan/schema path is exercised in tests with mime
-    'application/x-test' short-circuited to a no-op."""
+    """Image resize over Arrow batches. image/png: REAL nearest-neighbor
+    resize via the in-tree codec (decode -> resize -> re-encode). Other
+    mimes still raise (PIL territory); 'application/x-test' passes
+    through for plumbing tests."""
+    from .pngcodec import PNG_MAGIC, decode_png, encode_png, resize_nearest
 
     def run(batches):
         for pdf in batches:
@@ -93,9 +102,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             for p, m in zip(pdf["payload"], pdf["mime"]):
                 if m == "application/x-test":
                     out.append(p)  # no-op passthrough for plumbing tests
+                elif m == "image/png" and p is not None and bytes(p).startswith(PNG_MAGIC):
+                    arr = resize_nearest(decode_png(bytes(p)), width, height)
+                    out.append(encode_png(arr))
                 else:
                     raise NotImplementedError(
-                        "image resize requires PIL; not available in this container"
+                        "resize for this mime requires PIL; not available here"
                     )
             pdf = pdf.copy()
             pdf["payload"] = out

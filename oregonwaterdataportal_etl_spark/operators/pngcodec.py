@@ -1,0 +1,138 @@
+"""Minimal pure-stdlib PNG codec (zlib + struct + numpy).
+
+Closes the round-1 multimodal stub for one real format without new
+dependencies: `decode_png` handles non-interlaced 8-bit grayscale,
+gray+alpha, RGB and RGBA images (PNG spec filters 0-4, including
+Paeth); `encode_png` writes filter-0 RGB/RGBA/grayscale. Palette and
+16-bit images raise — swap in PIL on a real cluster for full coverage.
+
+This runs INSIDE Arrow-batched mapInPandas workers (see multimodal.py):
+per-image numpy work, never per-row Python at the DataFrame layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """-> uint8 array of shape (h, w, channels)."""
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = len(PNG_MAGIC), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"bit depth {depth} unsupported (8 only)")
+            if color not in _CHANNELS:
+                raise NotImplementedError(f"color type {color} unsupported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, scans = raw[:, 0], raw[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f, cur = filters[y], scans[y].copy()
+        up = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = cur + up
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                ul = int(up[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + int(up[x])) // 2
+                else:
+                    pred = int(
+                        _paeth(
+                            np.array(left, dtype=np.uint8),
+                            np.array(up[x], dtype=np.uint8),
+                            np.array(ul, dtype=np.uint8),
+                        )
+                    )
+                row[x] = (int(cur[x]) + pred) & 0xFF  # mod-256 per PNG spec
+            out[y] = row
+        else:
+            raise ValueError(f"unknown filter {f}")
+    return out.reshape(height, width, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, {1,2,3,4}) -> PNG bytes (filter 0)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scans = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    idat = zlib.compress(scans)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, c) -> (height, width, c)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def luminance_histogram(arr: np.ndarray, bins: int = 32) -> np.ndarray:
+    """Normalized luminance histogram — the real feature vector for
+    decoded images (replaces the sha256 stub)."""
+    a = arr.astype(np.float32)
+    if a.shape[2] >= 3:
+        lum = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        lum = a[:, :, 0]
+    hist, _ = np.histogram(lum, bins=bins, range=(0.0, 256.0))
+    total = max(hist.sum(), 1)
+    return (hist / total).astype(np.float32)

@@ -90,23 +90,113 @@ def validate_columns(df: DataFrame, expected: list[str]) -> DataFrame:
     return df
 
 
+def _xlsx_col_index(ref: str) -> int:
+    """'A1' -> 0, 'BC7' -> 54 (0-based column index of a cell ref)."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1
+
+
+def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
+    """Minimal in-tree xlsx (zip + spreadsheetml XML) reader — stdlib
+    only (zipfile + ElementTree). Covers the subset the reference's
+    pd.read_excel usage needs (userCode/xlsx/lib.py:33-56): sheet
+    enumeration, shared/inline strings, numbers, booleans; first row =
+    header. Returns {sheet_name: pandas.DataFrame}."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    with zipfile.ZipFile(path) as z:
+        # sheet name -> relationship id -> worksheet part path
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {}
+        for rel in rels:
+            target = rel.get("Target").lstrip("/")
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            rid_to_target[rel.get("Id")] = target
+        sheet_parts = {}
+        for el in wb.iter():
+            if local(el.tag) == "sheet":
+                rid = next(v for k, v in el.attrib.items() if local(k) == "id")
+                sheet_parts[el.get("name")] = rid_to_target[rid]
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst:
+                shared.append("".join(t.text or "" for t in si.iter() if local(t.tag) == "t"))
+
+        out = {}
+        for name, part in sheet_parts.items():
+            if sheets is not None and name not in sheets:
+                continue
+            ws = ET.fromstring(z.read(part))
+            rows: list[list] = []
+            for row in (el for el in ws.iter() if local(el.tag) == "row"):
+                cells: list = []
+                for c in row:
+                    if local(c.tag) != "c":
+                        continue
+                    idx = _xlsx_col_index(c.get("r", ""))
+                    if idx < 0:
+                        idx = len(cells)
+                    t = c.get("t", "n")
+                    v = None
+                    for child in c:
+                        if local(child.tag) == "v":
+                            v = child.text
+                        elif local(child.tag) == "is":
+                            v = "".join(
+                                x.text or "" for x in child.iter() if local(x.tag) == "t"
+                            )
+                    if v is None:
+                        val = None
+                    elif t == "s":
+                        val = shared[int(v)]
+                    elif t in ("str", "inlineStr"):
+                        val = v
+                    elif t == "b":
+                        val = v in ("1", "true")
+                    else:
+                        val = float(v)
+                    while len(cells) < idx:
+                        cells.append(None)
+                    cells.append(val)
+                rows.append(cells)
+            if not rows:
+                out[name] = pd.DataFrame()
+                continue
+            header = [str(h) for h in rows[0]]
+            width = len(header)
+            body = [r[:width] + [None] * (width - len(r)) for r in rows[1:]]
+            out[name] = pd.DataFrame(body, columns=header)
+    return out
+
+
 def read_xlsx(spark: SparkSession, path: str, sheets: list[str] | None = None):
-    """S7 — XLSX multi-sheet scan via pandas -> Arrow -> DataFrame
-    (reference: pd.read_excel(sheet_name=None), userCode/xlsx/lib.py:
-    33-56). Gated: openpyxl may be absent in this container."""
+    """S7 — XLSX multi-sheet scan -> DataFrame per sheet (reference:
+    pd.read_excel(sheet_name=None), userCode/xlsx/lib.py:33-56).
+    Uses pandas/openpyxl when installed; otherwise the in-tree native
+    zip+XML reader (_read_xlsx_native) — no dependency required."""
     try:
         import pandas as pd
 
         frames = pd.read_excel(path, sheet_name=None)
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx reading requires openpyxl; unavailable in this container"
-        ) from e
-    out = {}
-    for name, pdf in frames.items():
-        if sheets is None or name in sheets:
-            out[name] = spark.createDataFrame(pdf)
-    return out
+        if sheets is not None:
+            frames = {k: v for k, v in frames.items() if k in sheets}
+    except ImportError:
+        frames = _read_xlsx_native(path, sheets)
+    return {name: spark.createDataFrame(pdf) for name, pdf in frames.items()}
 
 
 def read_binary_attachments(spark: SparkSession, path_glob: str) -> DataFrame:
