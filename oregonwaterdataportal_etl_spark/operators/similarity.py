@@ -195,6 +195,86 @@ def knn_join_pandas(
     )
 
 
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 7,
+) -> None:
+    """Materialize the hyperplane bucket as a STORAGE partition key
+    (parquet partitionBy) — the at-scale layout where a probe scans
+    ~probes/2^bits of the corpus as a file-level partition-pruned read,
+    not a full scan + filter. Pruning is pinned by
+    tests/test_storage_pruning.py via the scan's numFiles metric."""
+    add_hyperplane_bucket(df, vec_col, bits=bits, seed=seed).write.partitionBy(
+        "__bucket"
+    ).mode("overwrite").parquet(path)
+
+
+def lsh_topk_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    probes: int = 1,
+) -> DataFrame:
+    """Probe an LSH-partitioned corpus: the IN-filter on the partition
+    column becomes a PartitionFilter at the parquet scan, so only the
+    probed buckets' files are read."""
+    buckets = lsh_probe_buckets(query, bits, seed, probes)
+    candidates = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    return brute_force_topk(candidates, query, id_col, vec_col, k)
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+) -> None:
+    """Materialize IVF cells as a storage partition key; centroids are
+    persisted beside the data so probes need no retraining."""
+    import json
+    import os
+
+    with_cell, centroids = ivf_assign(
+        df, vec_col, n_centroids, seed, sample_size, cell_col="__cell"
+    )
+    with_cell.write.partitionBy("__cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    probes: int = 4,
+) -> DataFrame:
+    """Probe an IVF-partitioned corpus: scan fraction ~= probes /
+    n_centroids via parquet partition pruning on __cell."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in d.argsort()[:probes]]
+    candidates = spark.read.parquet(path).filter(F.col("__cell").isin(probe_cells))
+    return brute_force_topk(candidates, query, id_col, vec_col, k)
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
