@@ -1,0 +1,58 @@
+"""Round-2: the north rule's packaging clause made real — the engine
+runs via `spark-submit --py-files <zip>` as a separate process, with the
+package provided ONLY through the zip (cwd is a temp dir)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files_applies_stream(spark, tmp_path):
+    sys.path.insert(0, REPO)
+    from oregonwaterdataportal_etl_spark.cdc import generate_changes
+
+    from package import build
+
+    stream = str(tmp_path / "stream")
+    generate_changes(spark, n_events=4000, n_convs=100, seed=3).write.parquet(stream)
+    zip_path = build(str(tmp_path / "pkg.zip"))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_log = tmp_path / "out.log"
+    with open(out_log, "w") as out:
+        subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "apply_changes.py"),
+                stream,
+                str(tmp_path / "table"),
+                str(tmp_path / "offsets"),
+                str(tmp_path / "manifests"),
+                "2000",
+            ],
+            cwd=str(tmp_path),  # the package is reachable ONLY via the zip
+            env=env,
+            stdout=out,
+            stderr=subprocess.DEVNULL,
+            check=True,
+            timeout=300,
+        )
+    lines = [l for l in out_log.read_text().splitlines() if l.startswith("{")]
+    assert lines, "job printed no metrics"
+    m = json.loads(lines[-1])
+    assert m["windows_applied"] == 2
+    assert m["final_offset"] == 3999
+    assert m["rows_final"] > 0
