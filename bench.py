@@ -45,6 +45,13 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
 CDC_CONVS = CDC_EVENTS // 40
 
 
+# transcript enum columns: declared dictionaries ride the merge
+# shuffle as 2-byte codes (engine feature, lake/table.py dict_cols)
+DICT_COLS = {
+    "role": ["user", "assistant", "system", "tool"],
+    "tool": ["search", "bash", "browser", "python"],
+}
+
 def time_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -75,6 +82,7 @@ def bench_cdc(spark, workdir: str) -> dict:
         TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"],
         num_buckets=8,
+        dict_cols=DICT_COLS,
     )
     warm.merge(spark.read.parquet(stream_dir).limit(50_000))
 
@@ -83,6 +91,7 @@ def bench_cdc(spark, workdir: str) -> dict:
         TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"],
         num_buckets=max(nparts, 16),
+        dict_cols=DICT_COLS,
     )
     changes = spark.read.parquet(stream_dir)
     t0 = time.perf_counter()
@@ -95,6 +104,7 @@ def bench_cdc(spark, workdir: str) -> dict:
         TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"],
         num_buckets=max(nparts, 16),
+        dict_cols=DICT_COLS,
     )
     t0 = time.perf_counter()
     mor_table.merge(changes, mode="mor")

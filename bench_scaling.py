@@ -29,6 +29,13 @@ CONVS = EVENTS // 40
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(","))
 
 
+# transcript enum columns: declared dictionaries ride the merge
+# shuffle as 2-byte codes (engine feature, lake/table.py dict_cols)
+DICT_COLS = {
+    "role": ["user", "assistant", "system", "tool"],
+    "tool": ["search", "bash", "browser", "python"],
+}
+
 def worker(cpus: int, stream_dir: str, workdir: str) -> None:
     from oregonwaterdataportal_etl_spark.cdc import generate_changes
     from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
@@ -51,6 +58,7 @@ def worker(cpus: int, stream_dir: str, workdir: str) -> None:
         TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"],
         num_buckets=8,
+        dict_cols=DICT_COLS,
     )
     warm.merge(spark.read.parquet(stream_dir).limit(50_000))
 
@@ -59,6 +67,7 @@ def worker(cpus: int, stream_dir: str, workdir: str) -> None:
         TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"],
         num_buckets=64,
+        dict_cols=DICT_COLS,
     )
     changes = spark.read.parquet(stream_dir)
     t0 = time.perf_counter()

@@ -76,6 +76,56 @@ _ACTION_COL = "_action"  # per-row merge outcome, written for metrics
 _DEL_COL = "_del"  # partition dir holding tombstones (winning deletes)
 _OP_COL = "_op"  # op column persisted in merge-on-read delta files
 
+# ---- shuffle-byte discipline -------------------------------------
+# Every byte that rides the resolve exchange costs DRAM bandwidth at
+# every parallelism level (measured: encoding op/role/tool to bytes
+# lifted 2->8-core scaling efficiency 0.675 -> 0.76 on 16M events).
+# The op column is engine-owned, so it ALWAYS rides as a 1-byte code;
+# user columns opt in via dict_cols at table creation.
+_OP_BASE, _OP_INSERT, _OP_UPDATE, _OP_DELETE, _OP_TOMBSTONE = 0, 1, 2, 3, 4
+
+
+def _op_code(col) -> "F.Column":
+    """String op -> tinyint code. Unknown ops upsert (engine contract:
+    anything that isn't a delete is an upsert), so they code as insert."""
+    return (
+        F.when(col == "delete", _OP_DELETE)
+        .when(col == "update", _OP_UPDATE)
+        .when(col == "tombstone", _OP_TOMBSTONE)
+        .when(col == "base", _OP_BASE)
+        .otherwise(_OP_INSERT)
+        .cast("tinyint")
+    )
+
+
+def _op_decode(col) -> "F.Column":
+    return (
+        F.when(col == _OP_DELETE, "delete")
+        .when(col == _OP_UPDATE, "update")
+        .when(col == _OP_TOMBSTONE, "tombstone")
+        .when(col == _OP_BASE, "base")
+        .otherwise("insert")
+    )
+
+
+def _dict_encode(col, values: list[str]):
+    """-> (code, fallback): code = index into values (smallint), or
+    len(values) as the not-in-dict sentinel; fallback carries the
+    original string ONLY for sentinel rows (null otherwise), so unknown
+    values survive losslessly while known ones ride as 2 bytes."""
+    code = F.lit(len(values)).cast("smallint")
+    for i, v in reversed(list(enumerate(values))):
+        code = F.when(col == v, F.lit(i).cast("smallint")).otherwise(code)
+    fallback = F.when(code == len(values), col)
+    return code, fallback
+
+
+def _dict_decode(code, fallback, values: list[str]):
+    out = fallback
+    for i, v in enumerate(values):
+        out = F.when(code == i, F.lit(v)).otherwise(out)
+    return out
+
 
 @dataclass
 class MergeResult:
@@ -196,11 +246,11 @@ class LakeTable:
         if deltas is None:
             return base.drop(LSN_COL)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
-        names = [f.name for f in schema.fields]
+        dicts = snap.get("dict_cols") or {}
         base_tagged = base.select(
-            *names,
+            *self._tag_select(base.columns, schema, dicts),
             F.col(LSN_COL).alias("__lsn"),
-            F.lit("base").alias("__op"),
+            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
             F.lit(0).alias("__src"),
         )
         # tombstones participate so a stale lower-LSN delta event for a
@@ -209,21 +259,23 @@ class LakeTable:
         if tomb is not None:
             base_tagged = base_tagged.unionByName(
                 tomb.select(
-                    *names,
+                    *self._tag_select(tomb.columns, schema, dicts),
                     F.col(LSN_COL).alias("__lsn"),
-                    F.lit("delete").alias("__op"),
+                    F.lit(_OP_DELETE).cast("tinyint").alias("__op"),
                     F.lit(0).alias("__src"),
                 )
             )
         upd_tagged = deltas.select(
-            *names,
+            *self._tag_select(deltas.columns, schema, dicts),
             F.col(LSN_COL).alias("__lsn"),
-            F.col(_OP_COL).alias("__op"),
+            _op_code(F.col(_OP_COL)).alias("__op"),
             F.lit(1).alias("__src"),
         )
         winners = self._resolve(base_tagged, upd_tagged, snap["key_cols"],
                                 snap["num_buckets"])
-        return winners.filter(~F.col("__op").isin("delete", "tombstone")).select(*names)
+        return winners.filter(
+            ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
+        ).select(*self._payload_out(schema, dicts))
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:
@@ -305,10 +357,24 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         num_buckets: int = 16,
+        dict_cols: dict[str, list[str]] | None = None,
     ) -> "LakeTable":
+        """dict_cols: {string_column: [expected values...]} — declared
+        low-cardinality columns ride the merge/read shuffles as 2-byte
+        dictionary codes instead of strings (values outside the declared
+        set survive via a lossless fallback). A ~10-25% shuffle-byte cut
+        on transcript-shaped payloads (see DESIGN.md section 7)."""
         t = LakeTable(path)
         if t.exists():
             raise ValueError(f"table already exists at {path}")
+        by_name = {f.name: f for f in schema.fields}
+        for c, vals in (dict_cols or {}).items():
+            if c in key_cols:
+                raise ValueError(f"dict_cols cannot include key column {c}")
+            if c not in by_name or not isinstance(by_name[c].dataType, T.StringType):
+                raise ValueError(f"dict_cols column {c} must be a string column")
+            if not vals or not all(isinstance(v, str) for v in vals):
+                raise ValueError(f"dict_cols[{c}] must be a non-empty list of strings")
         os.makedirs(t.data_dir, exist_ok=True)
         t._commit(
             {
@@ -317,11 +383,45 @@ class LakeTable:
                 "schema": json.dumps(schema.jsonValue()),
                 "key_cols": key_cols,
                 "num_buckets": num_buckets,
+                "dict_cols": dict_cols or {},
                 "files": {},
                 "summary": {"operation": "create"},
             }
         )
         return t
+
+    # ------------------------------------------------- shuffle encode
+    def _tag_select(self, df_cols: list[str], evolved: T.StructType, dicts: dict):
+        """Projection list for one side of the resolve union: evolved
+        payload columns (missing -> typed null), with declared dict
+        columns split into (code, fallback) pairs so strings don't ride
+        the exchange."""
+        out = []
+        for f in evolved.fields:
+            src = (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df_cols
+                else F.lit(None).cast(f.dataType)
+            )
+            if f.name in dicts:
+                code, fb = _dict_encode(src, dicts[f.name])
+                out += [code.alias(f"__c_{f.name}"), fb.alias(f"__f_{f.name}")]
+            else:
+                out.append(src.alias(f.name))
+        return out
+
+    @staticmethod
+    def _payload_out(evolved: T.StructType, dicts: dict):
+        """Inverse of _tag_select: decode dict columns back to their
+        public string form after the winners are chosen."""
+        return [
+            _dict_decode(
+                F.col(f"__c_{f.name}"), F.col(f"__f_{f.name}"), dicts[f.name]
+            ).alias(f.name)
+            if f.name in dicts
+            else F.col(f.name)
+            for f in evolved.fields
+        ]
 
     # ---------------------------------------------------------- write
     def _bucket_expr(self):
@@ -383,6 +483,7 @@ class LakeTable:
                 ),
                 "key_cols": snap["key_cols"],
                 "num_buckets": snap["num_buckets"],
+                "dict_cols": snap.get("dict_cols", {}),
                 "files": files,
                 "summary": {"operation": "overwrite"},
             }
@@ -452,7 +553,6 @@ class LakeTable:
             [f for f in updates.schema.fields if f.name not in (op_col, lsn_col)]
         )
         evolved = self.evolve_schema(payload_fields)
-        evolved_names = [f.name for f in evolved.fields]
 
         # -- partition pruning: which buckets does the batch touch? -
         # One cheap pass over the batch (bucket ids only). Skipped when
@@ -473,19 +573,12 @@ class LakeTable:
             touched = list(range(n_buckets))
 
         base = self._read_internal(spark, buckets=touched)
-
-        def project_evolved(df):
-            return [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in evolved.fields
-            ]
+        dicts = snap.get("dict_cols") or {}
 
         base_tagged = base.select(
-            *project_evolved(base),
+            *self._tag_select(base.columns, evolved, dicts),
             F.col(LSN_COL).alias("__lsn"),
-            F.lit("base").alias("__op"),
+            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
             F.lit(0).alias("__src"),
         )
         # tombstones of touched buckets re-enter as base-side deletes:
@@ -496,24 +589,16 @@ class LakeTable:
         if tomb is not None:
             base_tagged = base_tagged.unionByName(
                 tomb.select(
-                    *project_evolved(tomb),
+                    *self._tag_select(tomb.columns, evolved, dicts),
                     F.col(LSN_COL).alias("__lsn"),
-                    F.lit("tombstone").alias("__op"),
+                    F.lit(_OP_TOMBSTONE).cast("tinyint").alias("__op"),
                     F.lit(0).alias("__src"),
                 )
             )
-        upd_sel = [
-            (
-                F.col(f.name).cast(f.dataType)
-                if f.name in upd.columns
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in evolved.fields
-        ]
         upd_tagged = upd.select(
-            *upd_sel,
+            *self._tag_select(upd.columns, evolved, dicts),
             F.col(lsn_col).cast("long").alias("__lsn"),
-            F.col(op_col).alias("__op"),
+            _op_code(F.col(op_col)).alias("__op"),
             F.lit(1).alias("__src"),
         )
 
@@ -523,7 +608,7 @@ class LakeTable:
         # delta files with op tombstones; reads/compaction resolve.
         if mode == "mor":
             return self._merge_mor(
-                spark, snap, upd_tagged, evolved, touched, bexpr
+                spark, snap, upd_tagged, evolved, dicts, touched, bexpr
             )
 
         # existing MOR deltas for the touched buckets fold into this
@@ -531,19 +616,11 @@ class LakeTable:
         # buckets keep their deltas.
         existing_deltas = self._read_deltas(spark, snap, buckets=touched)
         if existing_deltas is not None:
-            delta_sel = [
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in existing_deltas.columns
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in evolved.fields
-            ]
             upd_tagged = upd_tagged.unionByName(
                 existing_deltas.select(
-                    *delta_sel,
+                    *self._tag_select(existing_deltas.columns, evolved, dicts),
                     F.col(LSN_COL).alias("__lsn"),
-                    F.col(_OP_COL).alias("__op"),
+                    _op_code(F.col(_OP_COL)).alias("__op"),
                     F.lit(1).alias("__src"),
                 )
             )
@@ -571,22 +648,22 @@ class LakeTable:
         # second computation of the shuffle. (Iceberg analog: MERGE
         # commit metrics + equality-delete files.)
         action = (
-            F.when(F.col("__op") == "tombstone", F.lit("noop"))  # carried
+            F.when(F.col("__op") == _OP_TOMBSTONE, F.lit("noop"))  # carried
             .when(F.col("__src") == 0, F.lit("noop"))  # base won
             .when(
-                (F.col("__op") == "delete") & (F.col("__all_chg") == 0),
+                (F.col("__op") == _OP_DELETE) & (F.col("__all_chg") == 0),
                 F.lit("delete"),
             )
-            .when(F.col("__op") == "delete", F.lit("dropped"))
+            .when(F.col("__op") == _OP_DELETE, F.lit("dropped"))
             .when(F.col("__all_chg") == 0, F.lit("update"))
             .otherwise(F.lit("insert"))
         )
         out = winners.select(
-            *[F.col(c) for c in evolved_names],
+            *self._payload_out(evolved, dicts),
             F.col("__lsn").alias(LSN_COL),
             action.alias(_ACTION_COL),
             bexpr.alias(_BUCKET_COL),
-            F.col("__op").isin("delete", "tombstone").alias(_DEL_COL),
+            F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE).alias(_DEL_COL),
         )
         out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
         # rows are already clustered one-bucket-per-task by the
@@ -674,6 +751,7 @@ class LakeTable:
                 "schema": json.dumps(evolved.jsonValue()),
                 "key_cols": key_cols,
                 "num_buckets": n_buckets,
+                "dict_cols": snap.get("dict_cols", {}),
                 "files": files,
                 "deltas": deltas,
                 "tombstones": tombstones,
@@ -682,7 +760,7 @@ class LakeTable:
         )
         return result
 
-    def _merge_mor(self, spark, snap, upd_tagged, evolved, touched, bexpr) -> MergeResult:
+    def _merge_mor(self, spark, snap, upd_tagged, evolved, dicts, touched, bexpr) -> MergeResult:
         """Append path: within-batch LWW dedup, then per-bucket delta
         files carrying (_lsn, _op). No base read, no base rewrite."""
         key_cols = snap["key_cols"]
@@ -690,9 +768,10 @@ class LakeTable:
         empty = spark.createDataFrame([], upd_tagged.schema)
         winners = self._resolve(empty, upd_tagged, key_cols, n_buckets)
         out = winners.select(
-            *[F.col(f.name) for f in evolved.fields],
+            *self._payload_out(evolved, dicts),
             F.col("__lsn").alias(LSN_COL),
-            F.col("__op").alias(_OP_COL),
+            # delta files keep the public string op (normalized)
+            _op_decode(F.col("__op")).alias(_OP_COL),
             bexpr.alias(_BUCKET_COL),
         )
         out_dir = os.path.join(self.data_dir, f"d-{uuid.uuid4().hex}")
@@ -729,6 +808,7 @@ class LakeTable:
                 "schema": json.dumps(evolved.jsonValue()),
                 "key_cols": key_cols,
                 "num_buckets": n_buckets,
+                "dict_cols": snap.get("dict_cols", {}),
                 "files": dict(snap["files"]),
                 "deltas": deltas,
                 "tombstones": dict(snap.get("tombstones", {})),
@@ -804,6 +884,7 @@ class LakeTable:
                 "schema": snap["schema"],
                 "key_cols": snap["key_cols"],
                 "num_buckets": snap["num_buckets"],
+                "dict_cols": snap.get("dict_cols", {}),
                 "files": files,
                 # unfolded deltas MUST carry forward — omitting this key
                 # silently dropped them from the snapshot (review find)
@@ -948,6 +1029,7 @@ class LakeTable:
                 "schema": snap["schema"],
                 "key_cols": snap["key_cols"],
                 "num_buckets": snap["num_buckets"],
+                "dict_cols": snap.get("dict_cols", {}),
                 "files": dict(snap["files"]),
                 "deltas": dict(snap.get("deltas", {})),
                 "tombstones": new_tombs,

@@ -193,6 +193,57 @@ def test_runner_expires_tombstones_on_compact_cycle(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["conv_id"] == "c2"
 
 
+# ------------------------------------------------------- dict columns
+def test_dict_cols_roundtrip_all_paths(spark, tmp_path):
+    """Declared dictionary columns ride the shuffle as codes but must
+    round-trip EXACTLY: known values, values outside the declared set
+    (lossless fallback), and nulls — through cow merge, mor deltas,
+    read-resolve and compaction."""
+    dicts = {"role": ["user", "assistant"], "tool": ["bash", "python"]}
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4, dict_cols=dicts
+    )
+    rows1 = [
+        ("insert", 1, "c1", 0, "user", "a", "bash", None),
+        ("insert", 2, "c1", 1, "narrator", "b", "awk", None),   # outside dict
+        ("insert", 3, "c1", 2, None, "c", None, None),          # nulls
+    ]
+    t.merge(spark.createDataFrame(rows1, schema=CHANGE_SCHEMA))
+    rows2 = [
+        ("update", 10, "c1", 0, "assistant", "a2", "python", None),
+        ("insert", 11, "c2", 0, "oracle", "d", "sed", None),    # outside dict
+    ]
+    t.merge(spark.createDataFrame(rows2, schema=CHANGE_SCHEMA), mode="mor")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["tool"])
+        for r in t.read(spark).collect()
+    }
+    expected = {
+        ("c1", 0): ("assistant", "python"),
+        ("c1", 1): ("narrator", "awk"),
+        ("c1", 2): (None, None),
+        ("c2", 0): ("oracle", "sed"),
+    }
+    assert got == expected
+    t.compact(spark)
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["tool"])
+        for r in t.read(spark).collect()
+    }
+    assert got2 == expected
+    # dict_cols survive snapshot lineage
+    assert t.snapshot()["dict_cols"] == dicts
+
+
+def test_dict_cols_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="key column"):
+        LakeTable.create(str(tmp_path / "a"), TRANSCRIPT_SCHEMA, KEYS,
+                         dict_cols={"conv_id": ["x"]})
+    with pytest.raises(ValueError, match="string column"):
+        LakeTable.create(str(tmp_path / "b"), TRANSCRIPT_SCHEMA, KEYS,
+                         dict_cols={"nope": ["x"]})
+
+
 # --------------------------------------------------- harvest turn_idx
 def test_harvest_turn_idx_is_epoch_derived(spark, tmp_path):
     from oregonwaterdataportal_etl_spark.plans.harvest import harvest_observations
