@@ -127,6 +127,14 @@ def _dict_decode(code, fallback, values: list[str]):
     return out
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet footer — metadata only, no data scan
+    (the Iceberg-manifest-statistics analog for snapshot lineage)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 @dataclass
 class MergeResult:
     """Counts + lineage for one MERGE (north_rule: per-partition
@@ -141,6 +149,7 @@ class MergeResult:
     rows_delta: int = 0  # merge-on-read: deduped events appended
     touched_buckets: list[int] = field(default_factory=list)
     partition_counts: dict[int, int] = field(default_factory=dict)
+    passthrough: bool = False  # uncontested base rows skipped the shuffle
 
     def as_dict(self) -> dict:
         return {
@@ -153,6 +162,7 @@ class MergeResult:
             "rows_delta": self.rows_delta,
             "touched_buckets": self.touched_buckets,
             "partition_counts": {str(k): v for k, v in self.partition_counts.items()},
+            "passthrough": self.passthrough,
         }
 
 
@@ -485,6 +495,9 @@ class LakeTable:
                 "num_buckets": snap["num_buckets"],
                 "dict_cols": snap.get("dict_cols", {}),
                 "files": files,
+                "row_counts": {
+                    b: sum(_parquet_rows(f) for f in fl) for b, fl in files.items()
+                },
                 "summary": {"operation": "overwrite"},
             }
         )
@@ -522,6 +535,8 @@ class LakeTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         mode: str = "cow",
+        passthrough: bool = True,
+        passthrough_max_rows: int = 5_000_000,
         _touched_override: list[int] | None = None,
     ) -> MergeResult:
         """Apply a change batch with LWW-by-LSN semantics.
@@ -543,6 +558,14 @@ class LakeTable:
         per-bucket delta files (delete tombstones included); reads and
         compact() resolve. Write-optimized: apply cost is independent
         of table size (the Hudi-MOR / Iceberg-v2-deletes pattern).
+
+        passthrough (cow only, auto-gated): when the touched base
+        dwarfs the batch (steady state), uncontested base rows — keys
+        absent from the batch — skip the resolve exchange entirely via
+        a broadcast anti-join and a map-side rewrite; only contested
+        rows + the batch ride the shuffle. Requires a deterministic
+        updates DataFrame (enforced at bucket granularity by the stray
+        guard below). passthrough_max_rows bounds the broadcast key set.
         """
         spark = updates.sparkSession
         snap = self.snapshot()
@@ -563,38 +586,17 @@ class LakeTable:
         n_buckets = snap["num_buckets"]
         bexpr = self._bucket_expr()
         upd = updates
+        batch_rows: int | None = None
         if _touched_override is not None:
             touched = sorted(_touched_override)
         elif snap["files"] or snap.get("deltas") or snap.get("tombstones"):
-            touched = sorted(
-                r[0] for r in upd.select(bexpr.alias("b")).distinct().collect()
-            )
+            bstats = upd.groupBy(bexpr.alias("b")).count().collect()
+            touched = sorted(r["b"] for r in bstats)
+            batch_rows = sum(r["count"] for r in bstats)
         else:
             touched = list(range(n_buckets))
 
-        base = self._read_internal(spark, buckets=touched)
         dicts = snap.get("dict_cols") or {}
-
-        base_tagged = base.select(
-            *self._tag_select(base.columns, evolved, dicts),
-            F.col(LSN_COL).alias("__lsn"),
-            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
-            F.lit(0).alias("__src"),
-        )
-        # tombstones of touched buckets re-enter as base-side deletes:
-        # a stale lower-LSN event for a deleted key loses to the
-        # tombstone instead of resurrecting the row (LWW across the
-        # delete horizon). Winning tombstones get re-emitted below.
-        tomb = self._read_tombstones(spark, snap, buckets=touched)
-        if tomb is not None:
-            base_tagged = base_tagged.unionByName(
-                tomb.select(
-                    *self._tag_select(tomb.columns, evolved, dicts),
-                    F.col(LSN_COL).alias("__lsn"),
-                    F.lit(_OP_TOMBSTONE).cast("tinyint").alias("__op"),
-                    F.lit(0).alias("__src"),
-                )
-            )
         upd_tagged = upd.select(
             *self._tag_select(upd.columns, evolved, dicts),
             F.col(lsn_col).cast("long").alias("__lsn"),
@@ -622,6 +624,64 @@ class LakeTable:
                     F.col(LSN_COL).alias("__lsn"),
                     _op_code(F.col(_OP_COL)).alias("__op"),
                     F.lit(1).alias("__src"),
+                )
+            )
+
+        # -- steady-state pass-through split -------------------------
+        # At base >> batch (the 10^10-row steady state) most base rows
+        # in touched buckets are UNCONTESTED: no batch event shares
+        # their key, so the LWW window cannot change them. Split them
+        # out with a broadcast anti-join on the batch's (distinct) keys
+        # and write them back map-side — they never ride the resolve
+        # exchange. Shuffle bytes become O(batch + contested) instead of
+        # O(touched base + batch). Null-safe equality keeps null-keyed
+        # rows contested (preserving the window-path semantics).
+        # Gated on per-bucket row-count lineage (snapshot "row_counts")
+        # so small-base merges keep the cheaper single-path plan, and on
+        # batch size so the broadcast stays bounded.
+        base = self._read_internal(spark, buckets=touched)
+        row_counts = snap.get("row_counts") or {}
+        base_rows_touched = sum(row_counts.get(str(b), 0) for b in touched)
+        use_passthrough = bool(
+            passthrough
+            and existing_deltas is None
+            and batch_rows is not None
+            and 0 < batch_rows <= passthrough_max_rows
+            and base_rows_touched > 2 * batch_rows
+        )
+        passthru = None
+        if use_passthrough:
+            bkeys = upd.select(
+                *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+            ).distinct()
+            cond = None
+            for c in key_cols:
+                e = base[c].eqNullSafe(bkeys[f"__k_{c}"])
+                cond = e if cond is None else (cond & e)
+            contested = base.join(F.broadcast(bkeys), cond, "left_semi")
+            passthru = base.join(F.broadcast(bkeys), cond, "left_anti")
+            base = contested
+
+        base_tagged = base.select(
+            *self._tag_select(base.columns, evolved, dicts),
+            F.col(LSN_COL).alias("__lsn"),
+            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
+            F.lit(0).alias("__src"),
+        )
+        # tombstones of touched buckets re-enter as base-side deletes:
+        # a stale lower-LSN event for a deleted key loses to the
+        # tombstone instead of resurrecting the row (LWW across the
+        # delete horizon). Winning tombstones get re-emitted below.
+        # (They stay on the window path even under pass-through: the
+        # delete set is small and must compete with batch events.)
+        tomb = self._read_tombstones(spark, snap, buckets=touched)
+        if tomb is not None:
+            base_tagged = base_tagged.unionByName(
+                tomb.select(
+                    *self._tag_select(tomb.columns, evolved, dicts),
+                    F.col(LSN_COL).alias("__lsn"),
+                    F.lit(_OP_TOMBSTONE).cast("tinyint").alias("__op"),
+                    F.lit(0).alias("__src"),
                 )
             )
 
@@ -673,26 +733,47 @@ class LakeTable:
         new_files: dict[str, list[str]] = {}
         new_tombs: dict[str, list[str]] = {}
         all_files: list[str] = []
-        for entry in os.listdir(out_dir):
-            if not entry.startswith(f"{_BUCKET_COL}="):
-                continue
-            b = entry.split("=")[1]
-            for sub in os.listdir(os.path.join(out_dir, entry)):
-                subdir = os.path.join(out_dir, entry, sub)
-                flist = [
-                    os.path.join(subdir, f)
-                    for f in os.listdir(subdir)
-                    if f.endswith(".parquet")
-                ]
-                all_files.extend(flist)
-                if sub == f"{_DEL_COL}=false":
-                    new_files[b] = sorted(new_files.get(b, []) + flist)
-                else:
-                    new_tombs[b] = sorted(new_tombs.get(b, []) + flist)
+
+        def collect_written(d: str) -> None:
+            for entry in os.listdir(d):
+                if not entry.startswith(f"{_BUCKET_COL}="):
+                    continue
+                b = entry.split("=")[1]
+                for sub in os.listdir(os.path.join(d, entry)):
+                    subdir = os.path.join(d, entry, sub)
+                    flist = [
+                        os.path.join(subdir, f)
+                        for f in os.listdir(subdir)
+                        if f.endswith(".parquet")
+                    ]
+                    all_files.extend(flist)
+                    if sub == f"{_DEL_COL}=false":
+                        new_files[b] = sorted(new_files.get(b, []) + flist)
+                    else:
+                        new_tombs[b] = sorted(new_tombs.get(b, []) + flist)
+
+        collect_written(out_dir)
+        if passthru is not None:
+            # map-side write: parquet scan -> broadcast anti-join ->
+            # partitionBy — NO exchange (each base file is single-bucket,
+            # so tasks write at most a few partition dirs). Uncontested
+            # rows keep their stored (possibly narrower) schema; reads
+            # null-fill evolved columns.
+            pout = passthru.select(
+                "*",
+                F.lit("noop").alias(_ACTION_COL),
+                bexpr.alias(_BUCKET_COL),
+                F.lit(False).alias(_DEL_COL),
+            )
+            pass_dir = os.path.join(self.data_dir, f"p-{uuid.uuid4().hex}")
+            pout.write.partitionBy(_BUCKET_COL, _DEL_COL).mode("overwrite").parquet(
+                pass_dir
+            )
+            collect_written(pass_dir)
         # -- non-deterministic-source guard --------------------------
-        # `updates` is evaluated twice (touched-bucket scan, then the
-        # resolve/write). A non-deterministic source whose second
-        # evaluation buckets outside the collected `touched` set would
+        # `updates` is evaluated multiple times (touched-bucket scan,
+        # pass-through key set, resolve/write). A non-deterministic
+        # source whose later evaluation buckets outside `touched` would
         # replace those buckets with ONLY the new rows, silently
         # dropping their unread base rows. Abort BEFORE commit instead:
         # no snapshot is written, the orphan write dir is vacuum-safe
@@ -710,9 +791,14 @@ class LakeTable:
         part_counts = {int(b): len(fl) for b, fl in new_files.items()}
         counts = {}
         if all_files:
+            # explicit 1-column schema: winner and pass-through files may
+            # have different payload widths; only _action is needed here
             counts = {
                 r["a"]: r["c"]
-                for r in spark.read.parquet(*all_files)
+                for r in spark.read.schema(
+                    T.StructType([T.StructField(_ACTION_COL, T.StringType())])
+                )
+                .parquet(*all_files)
                 .groupBy(F.col(_ACTION_COL).alias("a"))
                 .agg(F.count("*").alias("c"))
                 .collect()
@@ -724,12 +810,17 @@ class LakeTable:
         files = dict(snap["files"])
         deltas = dict(snap.get("deltas", {}))
         tombstones = dict(snap.get("tombstones", {}))
+        row_counts = dict(snap.get("row_counts", {}))
         for b in touched:
             files.pop(str(b), None)
             deltas.pop(str(b), None)
             tombstones.pop(str(b), None)
+            row_counts.pop(str(b), None)
         for b, flist in new_files.items():
             files[b] = flist
+            # per-bucket row lineage from parquet footers (no data scan);
+            # powers the pass-through gate and per-partition metrics
+            row_counts[b] = sum(_parquet_rows(f) for f in flist)
         for b, flist in new_tombs.items():
             tombstones[b] = flist
 
@@ -743,6 +834,7 @@ class LakeTable:
             rows_dropped=counts.get("dropped", 0),
             touched_buckets=touched,
             partition_counts=part_counts,
+            passthrough=use_passthrough,
         )
         self._commit(
             {
@@ -755,6 +847,7 @@ class LakeTable:
                 "files": files,
                 "deltas": deltas,
                 "tombstones": tombstones,
+                "row_counts": row_counts,
                 "summary": {"operation": "merge", **result.as_dict()},
             }
         )
@@ -812,6 +905,8 @@ class LakeTable:
                 "files": dict(snap["files"]),
                 "deltas": deltas,
                 "tombstones": dict(snap.get("tombstones", {})),
+                # deltas are not base rows: base row lineage carries as-is
+                "row_counts": dict(snap.get("row_counts", {})),
                 "summary": {"operation": "merge-mor", **result.as_dict()},
             }
         )
@@ -890,6 +985,8 @@ class LakeTable:
                 # silently dropped them from the snapshot (review find)
                 "deltas": dict(snap.get("deltas", {})),
                 "tombstones": dict(snap.get("tombstones", {})),
+                # bin-pack preserves rows per bucket: lineage carries
+                "row_counts": dict(snap.get("row_counts", {})),
                 "summary": {
                     "operation": "compact",
                     "rewritten_buckets": sorted(int(b) for b in to_rewrite),
@@ -1033,6 +1130,7 @@ class LakeTable:
                 "files": dict(snap["files"]),
                 "deltas": dict(snap.get("deltas", {})),
                 "tombstones": new_tombs,
+                "row_counts": dict(snap.get("row_counts", {})),
                 "summary": {
                     "operation": "expire-tombstones",
                     "below_lsn": below_lsn,

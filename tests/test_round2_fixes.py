@@ -193,6 +193,65 @@ def test_runner_expires_tombstones_on_compact_cycle(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["conv_id"] == "c2"
 
 
+# --------------------------------------------------- passthrough merge
+def test_passthrough_merge_equals_window_merge(spark, tmp_path):
+    """Steady-state split (uncontested base rows skip the shuffle) must
+    produce EXACTLY the same table state as the pure window path, across
+    updates, deletes, stale events, and new keys."""
+    base_pdf = generate_changes_pdf(400, 40, seed=6)
+    batch = [
+        ("update", 10**6, "conv_00000001", 0, "user", "upd", None, None),
+        ("delete", 10**6 + 1, "conv_00000002", 0, None, None, None, None),
+        ("update", -5, "conv_00000003", 0, "user", "stale", None, None),
+        ("insert", 10**6 + 2, "brand_new", 0, "user", "new", None, None),
+    ]
+    states = {}
+    for label, pt in (("fast", True), ("window", False)):
+        t = make(tmp_path, name=label, nb=4)
+        t.merge(spark.createDataFrame(base_pdf))
+        r = t.merge(spark.createDataFrame(batch, schema=CHANGE_SCHEMA), passthrough=pt)
+        assert r.passthrough is pt, f"gate: expected passthrough={pt}"
+        states[label] = sorted(
+            tuple(row) for row in t.read(spark).collect()
+        )
+        # lineage: per-bucket row counts recorded and consistent
+        rc = t.snapshot()["row_counts"]
+        assert sum(rc.values()) == len(states[label])
+    assert states["fast"] == states["window"]
+
+
+def test_passthrough_gate_off_for_small_base(spark, tmp_path):
+    """base <= 2x batch -> single-path merge (no extra jobs)."""
+    t = make(tmp_path)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "c1", 0, "user", "a", None, None)], schema=CHANGE_SCHEMA))
+    r = t.merge(spark.createDataFrame(
+        [("update", 2, "c1", 0, "user", "b", None, None)], schema=CHANGE_SCHEMA))
+    assert r.passthrough is False
+
+
+def test_passthrough_plan_shapes(spark, tmp_path):
+    """The split's building blocks: key semi/anti joins broadcast, and
+    the pass-through write plan has NO Exchange."""
+    import re
+
+    t = make(tmp_path, nb=4)
+    t.merge(spark.createDataFrame(generate_changes_pdf(400, 40, seed=6)))
+    base = t._read_internal(spark, buckets=list(range(4)))
+    keys = spark.createDataFrame(
+        [("conv_00000001", 0)], ["__k_conv_id", "__k_turn_idx"]
+    )
+    from pyspark.sql import functions as F
+
+    cond = base["conv_id"].eqNullSafe(keys["__k_conv_id"]) & base[
+        "turn_idx"
+    ].eqNullSafe(keys["__k_turn_idx"])
+    anti = base.join(F.broadcast(keys), cond, "left_anti")
+    plan = anti._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 0
+
+
 # ------------------------------------------------------- dict columns
 def test_dict_cols_roundtrip_all_paths(spark, tmp_path):
     """Declared dictionary columns ride the shuffle as codes but must
