@@ -535,7 +535,7 @@ class LakeTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         mode: str = "cow",
-        passthrough: bool = True,
+        passthrough: bool = False,
         passthrough_max_rows: int = 5_000_000,
         _touched_override: list[int] | None = None,
     ) -> MergeResult:
@@ -559,13 +559,22 @@ class LakeTable:
         compact() resolve. Write-optimized: apply cost is independent
         of table size (the Hudi-MOR / Iceberg-v2-deletes pattern).
 
-        passthrough (cow only, auto-gated): when the touched base
-        dwarfs the batch (steady state), uncontested base rows — keys
-        absent from the batch — skip the resolve exchange entirely via
-        a broadcast anti-join and a map-side rewrite; only contested
-        rows + the batch ride the shuffle. Requires a deterministic
-        updates DataFrame (enforced at bucket granularity by the stray
-        guard below). passthrough_max_rows bounds the broadcast key set.
+        passthrough (cow only, auto-gated, DEFAULT OFF): when the
+        touched base dwarfs the batch (steady state), uncontested base
+        rows — keys absent from the batch — skip the resolve exchange
+        entirely via a broadcast anti-join and a map-side rewrite; only
+        contested rows + the batch ride the shuffle. Shuffle bytes drop
+        from O(touched base + batch) to O(batch + contested), at the
+        cost of scanning the touched base TWICE (semi-join job +
+        anti-join job). Measured locally (base 16M / batch 1M, 8
+        cores): 7.7s off vs 10.1s on — on single-node NVMe the extra
+        parquet decode costs more than the in-memory shuffle it avoids,
+        hence the default. Enable on network-bound clusters where
+        shuffle write+transfer+read dominates a column-pruned rescan;
+        for truly base-size-independent applies use mode="mor".
+        Requires a deterministic updates DataFrame (enforced at bucket
+        granularity by the stray guard below); passthrough_max_rows
+        bounds the broadcast key set.
         """
         spark = updates.sparkSession
         snap = self.snapshot()
