@@ -109,12 +109,33 @@ def bench_cdc(spark, workdir: str) -> dict:
     t0 = time.perf_counter()
     mor_table.merge(changes, mode="mor")
     mor_elapsed = time.perf_counter() - t0
+
+    # incremental steady-state apply: a 10%-sized later window onto the
+    # loaded base — the shape every window after the first actually has
+    incr_events = CDC_EVENTS // 10
+    incr_dir = os.path.join(workdir, "stream_incr")
+    generate_changes(
+        spark, incr_events, CDC_CONVS, seed=43, zipf_a=1.1,
+        lsn_start=CDC_EVENTS, partitions=max(nparts // 4, 4),
+    ).write.mode("overwrite").parquet(incr_dir)
+    incr = spark.read.parquet(incr_dir)
+    t0 = time.perf_counter()
+    table.merge(incr)
+    incr_elapsed = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mor_table.merge(incr, mode="mor")
+    incr_mor_elapsed = time.perf_counter() - t0
     return {
         "cdc_apply_sec": round(elapsed, 3),
         "cdc_events": CDC_EVENTS,
         "cdc_events_per_sec": round(CDC_EVENTS / elapsed, 1),
         "cdc_mor_apply_sec": round(mor_elapsed, 3),
         "cdc_mor_events_per_sec": round(CDC_EVENTS / mor_elapsed, 1),
+        "cdc_incr_events": incr_events,
+        "cdc_incr_apply_sec": round(incr_elapsed, 3),
+        "cdc_incr_events_per_sec": round(incr_events / incr_elapsed, 1),
+        "cdc_incr_mor_apply_sec": round(incr_mor_elapsed, 3),
+        "cdc_incr_mor_events_per_sec": round(incr_events / incr_mor_elapsed, 1),
         "cdc_rows_final": result.rows_inserted,
     }
 
