@@ -303,6 +303,47 @@ def test_dict_cols_validation(spark, tmp_path):
                          dict_cols={"nope": ["x"]})
 
 
+# ----------------------------------------------------- full-loop soak
+def test_windowed_mor_loop_equals_single_cow_merge(spark, tmp_path):
+    """200k events with skew/out-of-order/deletes, applied three ways:
+    (a) one COW merge, (b) windowed MOR runner with compaction +
+    offset-clamped tombstone expiry every 2 windows, (c) the same
+    runner crash-resumed mid-stream. All three final states must be
+    identical row-for-row — the reference's run-twice/replay invariant
+    at loop scale, exercising every round-2 code path together."""
+    pdf_dir = str(tmp_path / "s")
+    spark.createDataFrame(
+        generate_changes_pdf(200_000, 4_000, seed=11, out_of_order=0.3, zipf_a=1.1)
+    ).repartition(8).write.parquet(pdf_dir)
+    src = lambda: spark.read.parquet(pdf_dir)  # noqa: E731
+
+    def state(t):
+        return sorted(tuple(r) for r in t.read(spark).collect())
+
+    cow = make(tmp_path, "cow", nb=8)
+    cow.merge(src())
+    want = state(cow)
+
+    mor = make(tmp_path, "mor", nb=8)
+    runner = CdcRunner(
+        mor, OffsetLog(str(tmp_path / "o1")), ManifestLog(str(tmp_path / "m1")),
+        src, mode="mor", compact_every=2,
+    )
+    runner.run_available(window_size=50_000)
+    assert state(mor) == want
+
+    crash = make(tmp_path, "crash", nb=8)
+    off2 = OffsetLog(str(tmp_path / "o2"))
+    r2 = CdcRunner(crash, off2, ManifestLog(str(tmp_path / "m2")),
+                   src, mode="mor", compact_every=2)
+    r2.run_window(0, 49_999)
+    r2.run_window(50_000, 99_999)  # "crash" here
+    r3 = CdcRunner(crash, off2, ManifestLog(str(tmp_path / "m2")),
+                   src, mode="mor", compact_every=2)
+    r3.run_available(window_size=50_000)
+    assert state(crash) == want
+
+
 # --------------------------------------------------- harvest turn_idx
 def test_harvest_turn_idx_is_epoch_derived(spark, tmp_path):
     from oregonwaterdataportal_etl_spark.plans.harvest import harvest_observations
