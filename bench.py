@@ -45,12 +45,11 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
 CDC_CONVS = CDC_EVENTS // 40
 
 
-# transcript enum columns: declared dictionaries ride the merge
-# shuffle as 2-byte codes (engine feature, lake/table.py dict_cols)
-DICT_COLS = {
-    "role": ["user", "assistant", "system", "tool"],
-    "tool": ["search", "bash", "browser", "python"],
-}
+# transcript enum dictionaries: declared next to the generator's value
+# arrays so they cannot drift (cdc/changegen.TRANSCRIPT_DICT_COLS)
+from oregonwaterdataportal_etl_spark.cdc.changegen import (  # noqa: E402
+    TRANSCRIPT_DICT_COLS as DICT_COLS,
+)
 
 def time_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()

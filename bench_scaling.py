@@ -29,12 +29,11 @@ CONVS = EVENTS // 40
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(","))
 
 
-# transcript enum columns: declared dictionaries ride the merge
-# shuffle as 2-byte codes (engine feature, lake/table.py dict_cols)
-DICT_COLS = {
-    "role": ["user", "assistant", "system", "tool"],
-    "tool": ["search", "bash", "browser", "python"],
-}
+# transcript enum dictionaries: declared next to the generator's value
+# arrays so they cannot drift (cdc/changegen.TRANSCRIPT_DICT_COLS)
+from oregonwaterdataportal_etl_spark.cdc.changegen import (  # noqa: E402
+    TRANSCRIPT_DICT_COLS as DICT_COLS,
+)
 
 def worker(cpus: int, stream_dir: str, workdir: str) -> None:
     from oregonwaterdataportal_etl_spark.cdc import generate_changes

@@ -42,6 +42,14 @@ CHANGE_SCHEMA = T.StructType(
 _ROLES = np.array(["user", "assistant", "system", "tool"])
 _TOOLS = np.array(["search", "bash", "browser", "python", None], dtype=object)
 
+# the transcript enum domains as LakeTable dict_cols (2-byte dictionary
+# codes through the merge shuffle) — kept HERE, next to the generator's
+# value arrays, so the declaration cannot drift from the data
+TRANSCRIPT_DICT_COLS = {
+    "role": [str(r) for r in _ROLES],
+    "tool": [str(t) for t in _TOOLS if t is not None],
+}
+
 # epoch seconds for 2024-01-01T00:00:00Z — fixed stream origin
 _T0 = 1704067200
 

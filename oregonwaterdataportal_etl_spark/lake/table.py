@@ -135,6 +135,21 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _rows_per_bucket(files_by_bucket: dict[str, list[str]]) -> dict[str, int]:
+    """Footer row counts for many files, concurrently — commits should
+    not serialize hundreds of (possibly remote) footer opens."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    flat = [(b, f) for b, fl in files_by_bucket.items() for f in fl]
+    if not flat:
+        return {}
+    out: dict[str, int] = {b: 0 for b in files_by_bucket}
+    with ThreadPoolExecutor(max_workers=min(16, len(flat))) as ex:
+        for (b, _f), n in zip(flat, ex.map(lambda t: _parquet_rows(t[1]), flat)):
+            out[b] += n
+    return out
+
+
 @dataclass
 class MergeResult:
     """Counts + lineage for one MERGE (north_rule: per-partition
@@ -495,9 +510,7 @@ class LakeTable:
                 "num_buckets": snap["num_buckets"],
                 "dict_cols": snap.get("dict_cols", {}),
                 "files": files,
-                "row_counts": {
-                    b: sum(_parquet_rows(f) for f in fl) for b, fl in files.items()
-                },
+                "row_counts": _rows_per_bucket(files),
                 "summary": {"operation": "overwrite"},
             }
         )
@@ -660,6 +673,20 @@ class LakeTable:
         )
         passthru = None
         if use_passthrough:
+            # pin ONE evaluation of the batch: if the broadcast key set
+            # and the window input came from different evaluations of a
+            # non-deterministic source, a key present in the window but
+            # absent from the keys would be written BOTH by the anti-join
+            # pass-through and by the window — silent duplicate rows
+            # (the bucket-granularity stray guard cannot see it). The
+            # checkpoint makes key-granularity divergence impossible.
+            upd = upd.localCheckpoint(eager=True)
+            upd_tagged = upd.select(
+                *self._tag_select(upd.columns, evolved, dicts),
+                F.col(lsn_col).cast("long").alias("__lsn"),
+                _op_code(F.col(op_col)).alias("__op"),
+                F.lit(1).alias("__src"),
+            )
             bkeys = upd.select(
                 *[F.col(c).alias(f"__k_{c}") for c in key_cols]
             ).distinct()
@@ -827,9 +854,9 @@ class LakeTable:
             row_counts.pop(str(b), None)
         for b, flist in new_files.items():
             files[b] = flist
-            # per-bucket row lineage from parquet footers (no data scan);
-            # powers the pass-through gate and per-partition metrics
-            row_counts[b] = sum(_parquet_rows(f) for f in flist)
+        # per-bucket row lineage from parquet footers (no data scan,
+        # threaded opens); powers the pass-through gate + metrics
+        row_counts.update(_rows_per_bucket(new_files))
         for b, flist in new_tombs.items():
             tombstones[b] = flist
 

@@ -53,7 +53,13 @@ def _decode_one(payload: bytes, mime: str) -> np.ndarray:
     from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
 
     if mime == "image/png" and payload.startswith(PNG_MAGIC):
-        return luminance_histogram(decode_png(payload), bins=32)
+        try:
+            return luminance_histogram(decode_png(payload), bins=32)
+        except Exception:
+            # palette/interlaced/16-bit/truncated PNG: the minimal codec
+            # can't decode it — fall back to the stub features instead of
+            # failing the whole featurization job on one bad blob
+            pass
     if mime.startswith(("image/", "audio/", "video/")):
         digest = hashlib.sha256(payload).digest()
         return np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0

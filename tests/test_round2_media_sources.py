@@ -119,6 +119,17 @@ def test_extract_features_real_png_histogram(spark):
     assert not np.allclose(feats[2], expected)
 
 
+def test_extract_features_undecodable_png_falls_back(spark):
+    """A PNG the minimal codec can't decode (valid magic, truncated
+    body) must fall back to stub features, never fail the job."""
+    bad = PNG_MAGIC + b"\x00\x00\x00\x0dIHDRtruncated-garbage"
+    media = spark.createDataFrame(
+        [(9, "image/png", bad, {})], schema=multimodal.MEDIA_SCHEMA
+    )
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 32
+
+
 def test_resize_images_real_png(spark):
     png, _ = _handmade_png()
     media = spark.createDataFrame([(1, "image/png", png, {})], schema=multimodal.MEDIA_SCHEMA)
@@ -137,11 +148,13 @@ def _handmade_xlsx(path):
 <workbook {ns} xmlns:r="{rns}"><sheets>
   <sheet name="sites" sheetId="1" r:id="rId1"/>
   <sheet name="data" sheetId="2" r:id="rId2"/>
+  <sheet name="blank" sheetId="3" r:id="rId3"/>
 </sheets></workbook>"""
     rels = f"""<?xml version="1.0"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
   <Relationship Id="rId1" Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/>
   <Relationship Id="rId2" Type="{rns}/worksheet" Target="worksheets/sheet2.xml"/>
+  <Relationship Id="rId3" Type="{rns}/worksheet" Target="worksheets/sheet3.xml"/>
 </Relationships>"""
     sst = f"""<?xml version="1.0"?>
 <sst {ns} count="3" uniqueCount="3">
@@ -159,13 +172,17 @@ def _handmade_xlsx(path):
   <row r="2"><c r="A2" t="inlineStr"><is><t>S1</t></is></c><c r="B2"><v>12.5</v></c>
               <c r="C2" t="b"><v>1</v></c></row>
   <row r="3"><c r="A3" t="str"><v>S1</v></c><c r="C3" t="b"><v>0</v></c></row>
+  <row r="4"><c r="A4" t="str"><v>S2</v></c><c r="B4" t="e"><v>#DIV/0!</v></c>
+              <c r="C4" t="b"><v>1</v></c></row>
 </sheetData></worksheet>"""
+    sheet3 = f'<?xml version="1.0"?><worksheet {ns}><sheetData/></worksheet>'
     with zipfile.ZipFile(path, "w") as z:
         z.writestr("xl/workbook.xml", workbook)
         z.writestr("xl/_rels/workbook.xml.rels", rels)
         z.writestr("xl/sharedStrings.xml", sst)
         z.writestr("xl/worksheets/sheet1.xml", sheet1)
         z.writestr("xl/worksheets/sheet2.xml", sheet2)
+        z.writestr("xl/worksheets/sheet3.xml", sheet3)
 
 
 def test_read_xlsx_native(spark, tmp_path):
@@ -175,11 +192,16 @@ def test_read_xlsx_native(spark, tmp_path):
     p = str(tmp_path / "wb.xlsx")
     _handmade_xlsx(p)
     frames = read_xlsx(spark, p)
+    # fully blank sheet dropped instead of breaking schema inference
     assert set(frames) == {"sites", "data"}
     sites = frames["sites"].collect()
     assert sites[0]["site_id"] == "S1" and sites[0]["name"] == "Upper Gauge"
-    data = sorted(frames["data"].collect(), key=lambda r: (r["value"] is None))
-    assert data[0]["site"] == "S1" and data[0]["value"] == 12.5 and data[0]["ok"] is True
-    assert data[1]["value"] is None and data[1]["ok"] is False
+    data = {r["site"]: r for r in frames["data"].collect() if r["value"] == 12.5}
+    assert data["S1"]["ok"] is True
+    rows = frames["data"].collect()
+    assert len(rows) == 3
+    # error cell (#DIV/0!) -> null, not a crash
+    s2 = [r for r in rows if r["site"] == "S2"][0]
+    assert s2["value"] is None and s2["ok"] is True
     only = read_xlsx(spark, p, sheets=["data"])
     assert set(only) == {"data"}
