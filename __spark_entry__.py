@@ -414,6 +414,34 @@ def q_lsh_topk(spark, sf):
     return out.select("vec_id", F.round("cosine", 3).alias("cosine"))
 
 
+def q_quality_score(spark, sf):
+    """Composite document quality (length band, alpha ratio, punct
+    penalty, stopword signal) — expression-only, formula replicated
+    verbatim by the oracle."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact word-trigram Jaccard near-dup pairs (inverted-index join);
+    jaccard emitted as the exact |A∩B|/|A∪B| double so both engines
+    compute the identical int/int division."""
+    d = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8, round_digits=None)
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding cosine near-dup via hyperplane buckets + in-bucket
+    verify. The synthetic corpus has no true near-dups (max pairwise
+    cosine 0.51), so the threshold is set to exercise the bucketed
+    candidate structure; the oracle replicates buckets and verify."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return dedup.embedding_neardup_pairs(dbl, threshold=0.35, bits=4, seed=7)
+
+
 def q_synth_numeric_id(spark, sf):
     """F5: deterministic numeric id — digits of concat, truncated to 18
     (the reference's iot.id synthesis)."""
@@ -544,6 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "quality_score": q_quality_score,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
         "unit_from_header": q_unit_from_header,
@@ -669,6 +700,88 @@ pairs AS (
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
+
+
+def _quality_sql() -> str:
+    """Verbatim SQL replica of functions.text.quality_score."""
+    def occ(m):
+        return f"cast((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS int)"
+
+    hits = " + ".join(occ(m) for m in text.LANG_MARKERS["en"])
+    return rf"""
+        SELECT doc_id,
+          round(
+            (CASE WHEN n < 10 THEN 0.0 WHEN n > 20000 THEN 0.5 ELSE 1.0 END) * 0.25
+            + (alpha / greatest(n, 1.0)) * 0.25
+            + (CASE WHEN punct / greatest(n, 1.0) > 0.2 THEN 0.5 ELSE 1.0 END) * 0.25
+            + least((hits / greatest(tokens, 1)) * 4.0, 1.0) * 0.25, 4) AS quality
+        FROM (
+          SELECT doc_id,
+                 cast(length(text) AS DOUBLE) AS n,
+                 cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                 cast(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) AS punct,
+                 ({hits}) AS hits,
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tokens
+          FROM (SELECT doc_id, text, concat(' ', lower(text), ' ') AS p
+                FROM documents))
+    """
+
+
+def _ngram_jaccard_sql(n=3, threshold=0.8) -> str:
+    """Relational replica of dedup.ngram_jaccard_pairs: distinct word
+    n-grams (concat_ws skips out-of-range nulls in BOTH engines),
+    inverted-index candidate join, exact |A∩B|/|A∪B|."""
+    gram = "concat_ws(' ', " + ", ".join(f"w[i + {j + 1}]" for j in range(n)) + ")"
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, {gram} AS g
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(0, greatest(len(w) - {n - 1}, 1) - 1)) AS i
+                FROM norm)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= {threshold}
+    """
+
+
+def _embedding_neardup_sql(threshold=0.35, bits=4, seed=7) -> str:
+    """Relational replica of dedup.embedding_neardup_pairs: identical
+    seeded hyperplane buckets, in-bucket pair join, round-4 cosine."""
+    planes = similarity._hyperplanes(_EMB_DIM, bits, seed)
+
+    def arr(a):
+        return "[" + ", ".join(repr(float(x)) for x in a) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {arr(planes[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, v, {bucket} AS bucket FROM c
+        )
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, bb.v), 4) AS cosine
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        WHERE round(list_cosine_similarity(a.v, bb.v), 4) >= {threshold}
+    """
 
 
 def _lsh_topk_sql(k=10) -> str:
@@ -979,6 +1092,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_sql(),
         "simhash_neardup": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
+        "quality_score": _quality_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
         # IVF probing all 16 cells must exactly reproduce brute force —
         # the full IVF machinery (sample, k-means, Arrow cell assignment,
         # probe ordering, re-rank) runs Spark-side; partial-probe recall

@@ -307,22 +307,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing at
     least one n-gram. Inverted-index join (explode ngrams, self-join on
     ngram) -> exact Jaccard via array intersect/union sizes.
     Quadratic in the worst case — the exact verifier for small/medium
-    corpora or post-LSH candidates; use minhash_lsh_pairs at scale."""
+    corpora or post-LSH candidates; use minhash_lsh_pairs at scale.
+
+    round_digits=None emits the exact |A∩B|/|A∪B| double (an int/int
+    division both engines compute identically — used by the DuckDB
+    value oracle)."""
     grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("__g"))
     inv = grams.select(id_col, "__g", F.explode("__g").alias("gram"))
     a = inv.select(F.col("gram"), F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
     b = inv.select(F.col("gram"), F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
     jac = F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb"))
+    if round_digits is not None:
+        jac = F.round(jac, round_digits)
     return (
         a.join(b, on="gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
