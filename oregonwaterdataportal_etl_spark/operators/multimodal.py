@@ -46,20 +46,29 @@ FEATURE_SCHEMA = T.StructType(
 def _decode_one(payload: bytes, mime: str) -> np.ndarray:
     """Decode + featurize one payload.
 
-    image/png with a valid signature: REAL decode via the in-tree
-    pure-stdlib codec (pngcodec.py) -> 32-bin luminance histogram.
-    Other image/audio/video mimes: deterministic sha256-derived fake
-    features (STUB — swap for PIL/ffmpeg/librosa on a real cluster)."""
+    REAL in-tree decodes (pure stdlib + numpy):
+    - image/png with a valid signature -> 32-bin luminance histogram
+      (pngcodec.py);
+    - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
+      (wavcodec.py, numpy FFT).
+    Other image/audio/video mimes (and payloads the minimal codecs
+    can't parse): deterministic sha256-derived fake features — the
+    documented STUB; swap for PIL/ffmpeg/librosa on a real cluster."""
     from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
+    from .wavcodec import WAV_MAGIC, decode_wav, log_spectrum_feature
 
-    if mime == "image/png" and payload.startswith(PNG_MAGIC):
-        try:
+    try:
+        if mime == "image/png" and payload.startswith(PNG_MAGIC):
             return luminance_histogram(decode_png(payload), bins=32)
-        except Exception:
-            # palette/interlaced/16-bit/truncated PNG: the minimal codec
-            # can't decode it — fall back to the stub features instead of
-            # failing the whole featurization job on one bad blob
-            pass
+        if mime in ("audio/wav", "audio/x-wav", "audio/wave") and payload.startswith(
+            WAV_MAGIC
+        ):
+            samples, _rate = decode_wav(payload)
+            return log_spectrum_feature(samples, bins=32)
+    except Exception:
+        # palette/interlaced/16-bit PNG, non-PCM WAV, truncated blobs:
+        # fall back to the stub instead of failing the whole job
+        pass
     if mime.startswith(("image/", "audio/", "video/")):
         digest = hashlib.sha256(payload).digest()
         return np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32) / 255.0

@@ -138,6 +138,44 @@ def test_resize_images_real_png(spark):
     assert resized.shape == (8, 8, 3)
 
 
+# ------------------------------------------------------------------ wav
+def test_wav_roundtrip_and_spectrum():
+    from oregonwaterdataportal_etl_spark.operators.wavcodec import (
+        decode_wav,
+        encode_wav,
+        log_spectrum_feature,
+    )
+
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    dec, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and len(dec) == 16000
+    assert np.abs(dec - sig).max() < 1e-3  # 16-bit quantization only
+    feat = log_spectrum_feature(dec, bins=32)
+    # a 440 Hz tone at 16 kHz concentrates in band floor(440/8000*32)=1
+    assert int(np.argmax(feat)) == 1 and abs(feat.sum() - 1.0) < 1e-6
+
+
+def test_extract_features_real_wav_spectrum(spark):
+    from oregonwaterdataportal_etl_spark.operators.wavcodec import (
+        encode_wav,
+        log_spectrum_feature,
+        decode_wav,
+    )
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    wav = encode_wav(0.4 * np.sin(2 * np.pi * 1000 * t), 8000)
+    rows = [
+        (1, "audio/wav", wav, {}),
+        (2, "audio/wav", b"RIFF-not-really-a-wav", {}),  # stub fallback
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    expected = log_spectrum_feature(decode_wav(wav)[0], bins=32)
+    assert np.allclose(feats[1], expected)
+    assert not np.allclose(feats[2], expected)
+
+
 # ------------------------------------------------------------------ xlsx
 def _handmade_xlsx(path):
     """Two-sheet xlsx written with stdlib zipfile: shared strings,
