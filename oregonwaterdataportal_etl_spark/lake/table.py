@@ -256,7 +256,12 @@ class LakeTable:
         return T.StructType(list(s.fields) + [T.StructField(LSN_COL, T.LongType(), True)])
 
     # ----------------------------------------------------------- read
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Read the table at a snapshot (time travel). Missing columns
         in old files are filled with nulls (additive schema evolution —
         mirrors the reference's extra='allow' carry-through,
@@ -264,13 +269,35 @@ class LakeTable:
 
         If the snapshot carries merge-on-read deltas, they are resolved
         here (base LWW-merged with delta events, delete tombstones
-        applied) — the Hudi/Iceberg-v2 MOR read path."""
+        applied) — the Hudi/Iceberg-v2 MOR read path.
+
+        columns: optional projection pushed BELOW the MOR resolve — the
+        LWW shuffle then carries only (keys + requested columns), not
+        the full row. A `.select()` above read() cannot do this (the
+        window's rank depends on the union, so Catalyst must keep every
+        column that feeds it); at transcript shape, pruning `text` off a
+        narrow read removes most of the resolve's shuffle bytes. Key
+        columns are always resolved; output contains exactly `columns`.
+        """
         snap = self.snapshot(version)
+        full_schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        if columns is not None:
+            unknown = set(columns) - {f.name for f in full_schema.fields}
+            if unknown:
+                raise ValueError(f"unknown columns: {sorted(unknown)}")
+            needed = set(columns) | set(snap["key_cols"])
+            schema = T.StructType(
+                [f for f in full_schema.fields if f.name in needed]
+            )
+        else:
+            schema = full_schema
         base = self._read_internal(spark, version)
+        if columns is not None:
+            base = base.select(*[f.name for f in schema.fields], LSN_COL)
         deltas = self._read_deltas(spark, snap)
         if deltas is None:
-            return base.drop(LSN_COL)
-        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            out = base.drop(LSN_COL)
+            return out.select(*columns) if columns is not None else out
         dicts = snap.get("dict_cols") or {}
         base_tagged = base.select(
             *self._tag_select(base.columns, schema, dicts),
@@ -298,9 +325,10 @@ class LakeTable:
         )
         winners = self._resolve(base_tagged, upd_tagged, snap["key_cols"],
                                 snap["num_buckets"])
-        return winners.filter(
+        out = winners.filter(
             ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
         ).select(*self._payload_out(schema, dicts))
+        return out.select(*columns) if columns is not None else out
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:

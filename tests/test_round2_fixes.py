@@ -303,6 +303,33 @@ def test_dict_cols_validation(spark, tmp_path):
                          dict_cols={"nope": ["x"]})
 
 
+# ------------------------------------------------- read column pruning
+def test_read_column_pruning_through_mor_resolve(spark, tmp_path):
+    """read(columns=[...]) must push the projection BELOW the MOR
+    resolve: results equal the full read's projection, and the resolve's
+    parquet scans never read the pruned text column."""
+    t = make(tmp_path)
+    t.merge(spark.createDataFrame(generate_changes_pdf(2000, 100, seed=3)))
+    t.merge(spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=4, lsn_start=2000)), mode="mor")
+    full = {(r["conv_id"], r["turn_idx"]): r["role"]
+            for r in t.read(spark).collect()}
+    narrow_df = t.read(spark, columns=["conv_id", "turn_idx", "role"])
+    assert narrow_df.columns == ["conv_id", "turn_idx", "role"]
+    narrow = {(r["conv_id"], r["turn_idx"]): r["role"] for r in narrow_df.collect()}
+    assert narrow == full
+    import re
+
+    plan = narrow_df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"ReadSchema: ([^\n]*)", plan):
+        assert "text" not in m.group(1), "pruned column still read:\n" + m.group(1)
+    # pruning without keys in the projection still resolves correctly
+    roles = sorted(r["role"] for r in t.read(spark, columns=["role"]).collect())
+    assert roles == sorted(full.values())
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(spark, columns=["nope"])
+
+
 # ----------------------------------------------------- full-loop soak
 def test_windowed_mor_loop_equals_single_cow_merge(spark, tmp_path):
     """200k events with skew/out-of-order/deletes, applied three ways:
