@@ -330,6 +330,63 @@ class LakeTable:
         ).select(*self._payload_out(schema, dicts))
         return out.select(*columns) if columns is not None else out
 
+    def lookup(self, spark: SparkSession, **key_values) -> DataFrame:
+        """Point read by FULL primary key with bucket pruning: the key's
+        bucket is computed with the table's own hash, and only that
+        bucket's base/delta/tombstone files are scanned — O(1/num_buckets)
+        of the table per lookup (the serving-layer read; Iceberg analog:
+        bucket-transform partition pruning on an equality predicate).
+
+        All key columns are required — the bucket hash covers the full
+        key, so a partial key cannot prune (use read().filter() there).
+        """
+        snap = self.snapshot()
+        key_cols = snap["key_cols"]
+        if set(key_values) != set(key_cols):
+            raise ValueError(f"lookup requires exactly the key columns {key_cols}")
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        key_fields = [f for f in schema.fields if f.name in key_cols]
+        row = tuple(key_values[f.name] for f in key_fields)
+        probe = spark.createDataFrame([row], T.StructType(key_fields))
+        # one 1-row job: the bucket function is Spark's hash — computing
+        # it anywhere else would risk divergence from the layout
+        b = probe.select(self._bucket_expr().alias("b")).collect()[0]["b"]
+        base = self._read_internal(spark, buckets=[b])
+        dicts = snap.get("dict_cols") or {}
+        pred = None
+        for c in key_cols:
+            e = F.col(c) == F.lit(key_values[c])
+            pred = e if pred is None else (pred & e)
+        deltas = self._read_deltas(spark, snap, buckets=[b])
+        if deltas is None:
+            return base.filter(pred).drop(LSN_COL)
+        base_tagged = base.filter(pred).select(
+            *self._tag_select(base.columns, schema, dicts),
+            F.col(LSN_COL).alias("__lsn"),
+            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
+            F.lit(0).alias("__src"),
+        )
+        tomb = self._read_tombstones(spark, snap, buckets=[b])
+        if tomb is not None:
+            base_tagged = base_tagged.unionByName(
+                tomb.filter(pred).select(
+                    *self._tag_select(tomb.columns, schema, dicts),
+                    F.col(LSN_COL).alias("__lsn"),
+                    F.lit(_OP_DELETE).cast("tinyint").alias("__op"),
+                    F.lit(0).alias("__src"),
+                )
+            )
+        upd_tagged = deltas.filter(pred).select(
+            *self._tag_select(deltas.columns, schema, dicts),
+            F.col(LSN_COL).alias("__lsn"),
+            _op_code(F.col(_OP_COL)).alias("__op"),
+            F.lit(1).alias("__src"),
+        )
+        winners = self._resolve(base_tagged, upd_tagged, key_cols, 1)
+        return winners.filter(
+            ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
+        ).select(*self._payload_out(schema, dicts))
+
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:
         """Read merge-on-read delta files (payload + _lsn + _op)."""

@@ -303,6 +303,30 @@ def test_dict_cols_validation(spark, tmp_path):
                          dict_cols={"nope": ["x"]})
 
 
+# ------------------------------------------------------- point lookup
+def test_lookup_point_read_prunes_to_one_bucket(spark, tmp_path):
+    t = make(tmp_path, nb=8)
+    t.merge(spark.createDataFrame(generate_changes_pdf(2000, 100, seed=3)))
+    t.merge(spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=4, lsn_start=2000)), mode="mor")
+    full = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read(spark).collect()}
+    key = next(iter(full))
+    rows = t.lookup(spark, conv_id=key[0], turn_idx=key[1]).collect()
+    assert len(rows) == 1 and rows[0]["text"] == full[key]
+    # a key that LWW-deleted or never existed -> empty
+    assert t.lookup(spark, conv_id="no_such_conv", turn_idx=0).count() == 0
+    with pytest.raises(ValueError, match="key columns"):
+        t.lookup(spark, conv_id="x")
+    # pruning: only one bucket's base files are referenced by the scan
+    snap = t.snapshot()
+    total_base_files = sum(len(fl) for fl in snap["files"].values())
+    df = t.lookup(spark, conv_id=key[0], turn_idx=key[1])
+    n_input = len(df.inputFiles())
+    assert n_input < total_base_files, (
+        f"lookup read {n_input} files of {total_base_files} — no bucket pruning"
+    )
+
+
 # ------------------------------------------------- read column pruning
 def test_read_column_pruning_through_mor_resolve(spark, tmp_path):
     """read(columns=[...]) must push the projection BELOW the MOR
