@@ -256,6 +256,59 @@ class LakeTable:
         return T.StructType(list(s.fields) + [T.StructField(LSN_COL, T.LongType(), True)])
 
     # ----------------------------------------------------------- read
+    def _resolved_view(
+        self,
+        spark: SparkSession,
+        version: int,
+        buckets: list[int] | None = None,
+        pred=None,
+        n_buckets: int | None = None,
+    ) -> DataFrame:
+        """Shared MOR read path for one PINNED snapshot version: base (+
+        tombstones as base-side deletes) LWW-resolved against delta
+        files, optional pre-filter pushed below the resolve. Pinning the
+        version ONCE keeps base/delta/tombstone file lists mutually
+        consistent under concurrent commits (mixing CURRENT re-reads
+        could resurrect a deleted key or hit vacuumed paths)."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        dicts = snap.get("dict_cols") or {}
+        base = self._read_internal(spark, version, buckets=buckets)
+        if pred is not None:
+            base = base.filter(pred)
+        deltas = self._read_deltas(spark, snap, buckets=buckets)
+        if deltas is None:
+            return base.drop(LSN_COL)
+
+        def tag(df, op_expr, src):
+            if pred is not None and src == 1:
+                df = df.filter(pred)
+            return df.select(
+                *self._tag_select(df.columns, schema, dicts),
+                F.col(LSN_COL).alias("__lsn"),
+                op_expr.alias("__op"),
+                F.lit(src).alias("__src"),
+            )
+
+        base_tagged = tag(base, F.lit(_OP_BASE).cast("tinyint"), 0)
+        # tombstones participate so a stale lower-LSN delta event for a
+        # deleted key cannot resurrect it at read time
+        tomb = self._read_tombstones(spark, snap, buckets=buckets)
+        if tomb is not None:
+            if pred is not None:
+                tomb = tomb.filter(pred)
+            base_tagged = base_tagged.unionByName(
+                tag(tomb, F.lit(_OP_DELETE).cast("tinyint"), 0)
+            )
+        upd_tagged = tag(deltas, _op_code(F.col(_OP_COL)), 1)
+        winners = self._resolve(
+            base_tagged, upd_tagged, snap["key_cols"],
+            n_buckets if n_buckets is not None else snap["num_buckets"],
+        )
+        return winners.filter(
+            ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
+        ).select(*self._payload_out(schema, dicts))
+
     def read(
         self,
         spark: SparkSession,
@@ -271,63 +324,22 @@ class LakeTable:
         here (base LWW-merged with delta events, delete tombstones
         applied) — the Hudi/Iceberg-v2 MOR read path.
 
-        columns: optional projection pushed BELOW the MOR resolve — the
-        LWW shuffle then carries only (keys + requested columns), not
-        the full row. A `.select()` above read() cannot do this (the
-        window's rank depends on the union, so Catalyst must keep every
-        column that feeds it); at transcript shape, pruning `text` off a
-        narrow read removes most of the resolve's shuffle bytes. Key
-        columns are always resolved; output contains exactly `columns`.
-        """
-        snap = self.snapshot(version)
-        full_schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        columns: validated projection sugar. NOTE: this does NOT beat a
+        plain `.select()` above read() — verified on Spark 4.1.2 that
+        Catalyst's ColumnPruning pushes the projection through the
+        window/union/repartition identically (the rank depends only on
+        keys/__lsn/__src), so both forms prune `text` from every scan
+        and the resolve exchange. Pinned by
+        tests/test_round2_fixes.py::test_read_column_pruning_through_mor_resolve,
+        which exists to catch a Catalyst regression, not to justify
+        manual plumbing."""
+        v = self.current_version() if version is None else version
         if columns is not None:
-            unknown = set(columns) - {f.name for f in full_schema.fields}
+            schema = T.StructType.fromJson(json.loads(self.snapshot(v)["schema"]))
+            unknown = set(columns) - {f.name for f in schema.fields}
             if unknown:
                 raise ValueError(f"unknown columns: {sorted(unknown)}")
-            needed = set(columns) | set(snap["key_cols"])
-            schema = T.StructType(
-                [f for f in full_schema.fields if f.name in needed]
-            )
-        else:
-            schema = full_schema
-        base = self._read_internal(spark, version)
-        if columns is not None:
-            base = base.select(*[f.name for f in schema.fields], LSN_COL)
-        deltas = self._read_deltas(spark, snap)
-        if deltas is None:
-            out = base.drop(LSN_COL)
-            return out.select(*columns) if columns is not None else out
-        dicts = snap.get("dict_cols") or {}
-        base_tagged = base.select(
-            *self._tag_select(base.columns, schema, dicts),
-            F.col(LSN_COL).alias("__lsn"),
-            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
-            F.lit(0).alias("__src"),
-        )
-        # tombstones participate so a stale lower-LSN delta event for a
-        # deleted key cannot resurrect it at read time
-        tomb = self._read_tombstones(spark, snap)
-        if tomb is not None:
-            base_tagged = base_tagged.unionByName(
-                tomb.select(
-                    *self._tag_select(tomb.columns, schema, dicts),
-                    F.col(LSN_COL).alias("__lsn"),
-                    F.lit(_OP_DELETE).cast("tinyint").alias("__op"),
-                    F.lit(0).alias("__src"),
-                )
-            )
-        upd_tagged = deltas.select(
-            *self._tag_select(deltas.columns, schema, dicts),
-            F.col(LSN_COL).alias("__lsn"),
-            _op_code(F.col(_OP_COL)).alias("__op"),
-            F.lit(1).alias("__src"),
-        )
-        winners = self._resolve(base_tagged, upd_tagged, snap["key_cols"],
-                                snap["num_buckets"])
-        out = winners.filter(
-            ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
-        ).select(*self._payload_out(schema, dicts))
+        out = self._resolved_view(spark, v)
         return out.select(*columns) if columns is not None else out
 
     def lookup(self, spark: SparkSession, **key_values) -> DataFrame:
@@ -339,8 +351,11 @@ class LakeTable:
 
         All key columns are required — the bucket hash covers the full
         key, so a partial key cannot prune (use read().filter() there).
-        """
-        snap = self.snapshot()
+        Null key values are matched null-safely (the layout hashes
+        nulls consistently, and merge treats null-keyed rows as ordinary
+        keys)."""
+        v = self.current_version()
+        snap = self.snapshot(v)
         key_cols = snap["key_cols"]
         if set(key_values) != set(key_cols):
             raise ValueError(f"lookup requires exactly the key columns {key_cols}")
@@ -350,42 +365,12 @@ class LakeTable:
         probe = spark.createDataFrame([row], T.StructType(key_fields))
         # one 1-row job: the bucket function is Spark's hash — computing
         # it anywhere else would risk divergence from the layout
-        b = probe.select(self._bucket_expr().alias("b")).collect()[0]["b"]
-        base = self._read_internal(spark, buckets=[b])
-        dicts = snap.get("dict_cols") or {}
+        b = probe.select(self._bucket_expr(snap).alias("b")).collect()[0]["b"]
         pred = None
         for c in key_cols:
-            e = F.col(c) == F.lit(key_values[c])
+            e = F.col(c).eqNullSafe(F.lit(key_values[c]))
             pred = e if pred is None else (pred & e)
-        deltas = self._read_deltas(spark, snap, buckets=[b])
-        if deltas is None:
-            return base.filter(pred).drop(LSN_COL)
-        base_tagged = base.filter(pred).select(
-            *self._tag_select(base.columns, schema, dicts),
-            F.col(LSN_COL).alias("__lsn"),
-            F.lit(_OP_BASE).cast("tinyint").alias("__op"),
-            F.lit(0).alias("__src"),
-        )
-        tomb = self._read_tombstones(spark, snap, buckets=[b])
-        if tomb is not None:
-            base_tagged = base_tagged.unionByName(
-                tomb.filter(pred).select(
-                    *self._tag_select(tomb.columns, schema, dicts),
-                    F.col(LSN_COL).alias("__lsn"),
-                    F.lit(_OP_DELETE).cast("tinyint").alias("__op"),
-                    F.lit(0).alias("__src"),
-                )
-            )
-        upd_tagged = deltas.filter(pred).select(
-            *self._tag_select(deltas.columns, schema, dicts),
-            F.col(LSN_COL).alias("__lsn"),
-            _op_code(F.col(_OP_COL)).alias("__op"),
-            F.lit(1).alias("__src"),
-        )
-        winners = self._resolve(base_tagged, upd_tagged, key_cols, 1)
-        return winners.filter(
-            ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
-        ).select(*self._payload_out(schema, dicts))
+        return self._resolved_view(spark, v, buckets=[b], pred=pred, n_buckets=1)
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:
@@ -534,14 +519,17 @@ class LakeTable:
         ]
 
     # ---------------------------------------------------------- write
-    def _bucket_expr(self):
+    def _bucket_expr(self, snap: dict | None = None):
         """Bucket id = pmod(hash(key_cols), n) with Spark's own Murmur3
         F.hash — DELIBERATELY identical to Spark's internal
         HashPartitioning. Consequence: after ``repartition(n, *keys)``
         every task holds exactly one bucket, so the merge's window
         shuffle and the bucketed file layout share ONE exchange (the
-        moral equivalent of Iceberg storage-partitioned writes)."""
-        snap = self.snapshot()
+        moral equivalent of Iceberg storage-partitioned writes).
+        Pass the caller's pinned snapshot to avoid a CURRENT re-read
+        (the function's inputs are immutable post-create anyway)."""
+        if snap is None:
+            snap = self.snapshot()
         keys = [F.col(c) for c in snap["key_cols"]]
         return F.pmod(F.hash(*keys), F.lit(snap["num_buckets"])).cast("int")
 

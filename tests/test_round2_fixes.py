@@ -317,6 +317,12 @@ def test_lookup_point_read_prunes_to_one_bucket(spark, tmp_path):
     assert t.lookup(spark, conv_id="no_such_conv", turn_idx=0).count() == 0
     with pytest.raises(ValueError, match="key columns"):
         t.lookup(spark, conv_id="x")
+    # null key values are legal table contents: null-safe lookup finds them
+    t.merge(spark.createDataFrame(
+        [("insert", 10**7, None, 7, "user", "nullkey", None, None)],
+        schema=CHANGE_SCHEMA))
+    got = t.lookup(spark, conv_id=None, turn_idx=7).collect()
+    assert len(got) == 1 and got[0]["text"] == "nullkey"
     # pruning: only one bucket's base files are referenced by the scan
     snap = t.snapshot()
     total_base_files = sum(len(fl) for fl in snap["files"].values())
