@@ -1022,6 +1022,45 @@ class LakeTable:
         return result
 
     # ---------------------------------------------------- maintenance
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot by COMMITTING a new
+        snapshot that references the old version's files (Iceberg
+        rollback_to_snapshot: history moves forward, data pointers move
+        back). Fails loudly if any referenced file has already been
+        vacuumed. Time travel to the rolled-back-over versions keeps
+        working until they expire."""
+        try:
+            target = self.snapshot(version)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"cannot roll back to version {version}: its snapshot manifest "
+                f"was vacuumed (expired by keep_last)"
+            ) from e
+        missing = [f for f in self._snap_files(target) if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"cannot roll back to version {version}: {len(missing)} data "
+                f"files already vacuumed (first: {missing[0]})"
+            )
+        cur = self.snapshot()
+        new_version = cur["version"] + 1
+        self._commit(
+            {
+                "version": new_version,
+                "parent": cur["version"],
+                "schema": target["schema"],
+                "key_cols": target["key_cols"],
+                "num_buckets": target["num_buckets"],
+                "dict_cols": target.get("dict_cols", {}),
+                "files": dict(target["files"]),
+                "deltas": dict(target.get("deltas", {})),
+                "tombstones": dict(target.get("tombstones", {})),
+                "row_counts": dict(target.get("row_counts", {})),
+                "summary": {"operation": "rollback", "to_version": version},
+            }
+        )
+        return new_version
+
     def compact(
         self,
         spark: SparkSession,

@@ -303,6 +303,28 @@ def test_dict_cols_validation(spark, tmp_path):
                          dict_cols={"nope": ["x"]})
 
 
+# ---------------------------------------------------------- rollback
+def test_rollback_restores_state_and_guards_vacuumed(spark, tmp_path):
+    t = make(tmp_path)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "c1", 0, "user", "v1", None, None)], schema=CHANGE_SCHEMA))
+    v1 = t.current_version()
+    t.merge(spark.createDataFrame(
+        [("update", 2, "c1", 0, "user", "v2", None, None)], schema=CHANGE_SCHEMA))
+    assert t.read(spark).collect()[0]["text"] == "v2"
+    t.rollback(v1)
+    assert t.read(spark).collect()[0]["text"] == "v1"
+    # history moved FORWARD (new snapshot), old versions still readable
+    assert t.current_version() == v1 + 2
+    assert t.read(spark, version=v1 + 1).collect()[0]["text"] == "v2"
+    # vacuumed target -> loud failure, not silent corruption
+    t.merge(spark.createDataFrame(
+        [("update", 3, "c1", 0, "user", "v3", None, None)], schema=CHANGE_SCHEMA))
+    t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.rollback(v1 + 1)
+
+
 # ------------------------------------------------------- point lookup
 def test_lookup_point_read_prunes_to_one_bucket(spark, tmp_path):
     t = make(tmp_path, nb=8)
