@@ -1021,6 +1021,26 @@ class LakeTable:
         )
         return result
 
+    def stats(self) -> dict:
+        """Metadata-only table statistics (north_rule: per-partition
+        lineage + row counts) — no Spark job: everything comes from the
+        snapshot's manifest-style bookkeeping."""
+        snap = self.snapshot()
+        rc = {int(b): n for b, n in (snap.get("row_counts") or {}).items()}
+        return {
+            "version": snap["version"],
+            "num_buckets": snap["num_buckets"],
+            "rows_base": sum(rc.values()),
+            "rows_per_bucket": rc,
+            "base_files": sum(len(fl) for fl in snap["files"].values()),
+            "delta_files": sum(len(fl) for fl in snap.get("deltas", {}).values()),
+            "tombstone_files": sum(
+                len(fl) for fl in snap.get("tombstones", {}).values()
+            ),
+            "dict_cols": snap.get("dict_cols", {}),
+            "operation": snap.get("summary", {}).get("operation"),
+        }
+
     # ---------------------------------------------------- maintenance
     def rollback(self, version: int) -> int:
         """Roll the table back to an earlier snapshot by COMMITTING a new

@@ -303,6 +303,20 @@ def test_dict_cols_validation(spark, tmp_path):
                          dict_cols={"nope": ["x"]})
 
 
+# -------------------------------------------------------------- stats
+def test_stats_metadata_only(spark, tmp_path):
+    t = make(tmp_path)
+    t.merge(spark.createDataFrame(generate_changes_pdf(1000, 50, seed=2)))
+    t.merge(spark.createDataFrame(
+        [("insert", 10**6, "x", 0, "user", "d", None, None)], schema=CHANGE_SCHEMA),
+        mode="mor")
+    s = t.stats()
+    assert s["rows_base"] == sum(s["rows_per_bucket"].values()) > 0
+    assert s["rows_base"] == t.read(spark).count() - 1  # the MOR delta row
+    assert s["delta_files"] == 1 and s["base_files"] >= 1
+    assert s["version"] == t.current_version()
+
+
 # ---------------------------------------------------------- rollback
 def test_rollback_restores_state_and_guards_vacuumed(spark, tmp_path):
     t = make(tmp_path)
