@@ -127,6 +127,15 @@ def _dict_decode(code, fallback, values: list[str]):
     return out
 
 
+def _and_all(exprs) -> "F.Column":
+    """Conjunction fold — the one definition of 'rows match on every
+    key column' shared by lookup() and merge()'s pass-through split."""
+    out = None
+    for e in exprs:
+        out = e if out is None else (out & e)
+    return out
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from the parquet footer — metadata only, no data scan
     (the Iceberg-manifest-statistics analog for snapshot lineage)."""
@@ -261,28 +270,36 @@ class LakeTable:
         spark: SparkSession,
         version: int,
         buckets: list[int] | None = None,
-        pred=None,
+        key_pred=None,
         n_buckets: int | None = None,
     ) -> DataFrame:
         """Shared MOR read path for one PINNED snapshot version: base (+
         tombstones as base-side deletes) LWW-resolved against delta
-        files, optional pre-filter pushed below the resolve. Pinning the
-        version ONCE keeps base/delta/tombstone file lists mutually
-        consistent under concurrent commits (mixing CURRENT re-reads
-        could resurrect a deleted key or hit vacuumed paths)."""
+        files. Pinning the version ONCE keeps base/delta/tombstone file
+        lists mutually consistent under concurrent commits (mixing
+        CURRENT re-reads could resurrect a deleted key or hit vacuumed
+        paths).
+
+        key_pred: optional pre-filter pushed below the resolve. SAFETY
+        PRECONDITION: it must be a function of the KEY COLUMNS ONLY —
+        the LWW window partitions by key, so a key-complete predicate
+        selects whole key-groups and cannot change any winner. A payload
+        predicate here would silently promote stale events (their
+        higher-LSN competitors get filtered out pre-window); payload
+        filters belong ABOVE read()."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         dicts = snap.get("dict_cols") or {}
-        base = self._read_internal(spark, version, buckets=buckets)
-        if pred is not None:
-            base = base.filter(pred)
+        base = self._read_internal(spark, version, buckets=buckets, _snap=snap)
+        if key_pred is not None:
+            base = base.filter(key_pred)
         deltas = self._read_deltas(spark, snap, buckets=buckets)
         if deltas is None:
             return base.drop(LSN_COL)
 
-        def tag(df, op_expr, src):
-            if pred is not None and src == 1:
-                df = df.filter(pred)
+        def tag(df, op_expr, src, filtered=False):
+            if key_pred is not None and not filtered:
+                df = df.filter(key_pred)
             return df.select(
                 *self._tag_select(df.columns, schema, dicts),
                 F.col(LSN_COL).alias("__lsn"),
@@ -290,13 +307,11 @@ class LakeTable:
                 F.lit(src).alias("__src"),
             )
 
-        base_tagged = tag(base, F.lit(_OP_BASE).cast("tinyint"), 0)
+        base_tagged = tag(base, F.lit(_OP_BASE).cast("tinyint"), 0, filtered=True)
         # tombstones participate so a stale lower-LSN delta event for a
         # deleted key cannot resurrect it at read time
         tomb = self._read_tombstones(spark, snap, buckets=buckets)
         if tomb is not None:
-            if pred is not None:
-                tomb = tomb.filter(pred)
             base_tagged = base_tagged.unionByName(
                 tag(tomb, F.lit(_OP_DELETE).cast("tinyint"), 0)
             )
@@ -366,11 +381,10 @@ class LakeTable:
         # one 1-row job: the bucket function is Spark's hash — computing
         # it anywhere else would risk divergence from the layout
         b = probe.select(self._bucket_expr(snap).alias("b")).collect()[0]["b"]
-        pred = None
-        for c in key_cols:
-            e = F.col(c).eqNullSafe(F.lit(key_values[c]))
-            pred = e if pred is None else (pred & e)
-        return self._resolved_view(spark, v, buckets=[b], pred=pred, n_buckets=1)
+        pred = _and_all(
+            F.col(c).eqNullSafe(F.lit(key_values[c])) for c in key_cols
+        )
+        return self._resolved_view(spark, v, buckets=[b], key_pred=pred, n_buckets=1)
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:
@@ -429,8 +443,12 @@ class LakeTable:
         spark: SparkSession,
         version: int | None = None,
         buckets: list[int] | None = None,
+        _snap: dict | None = None,
     ) -> DataFrame:
-        snap = self.snapshot(version)
+        # _snap: caller's already-parsed snapshot (the manifest JSON can
+        # carry thousands of file paths — don't re-parse it per helper
+        # on the point-lookup serving path)
+        snap = _snap if _snap is not None else self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         stored = T.StructType(
             list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
@@ -763,10 +781,9 @@ class LakeTable:
             bkeys = upd.select(
                 *[F.col(c).alias(f"__k_{c}") for c in key_cols]
             ).distinct()
-            cond = None
-            for c in key_cols:
-                e = base[c].eqNullSafe(bkeys[f"__k_{c}"])
-                cond = e if cond is None else (cond & e)
+            cond = _and_all(
+                base[c].eqNullSafe(bkeys[f"__k_{c}"]) for c in key_cols
+            )
             contested = base.join(F.broadcast(bkeys), cond, "left_semi")
             passthru = base.join(F.broadcast(bkeys), cond, "left_anti")
             base = contested
@@ -1049,6 +1066,12 @@ class LakeTable:
         back). Fails loudly if any referenced file has already been
         vacuumed. Time travel to the rolled-back-over versions keeps
         working until they expire."""
+        cur = self.snapshot()
+        if not 0 <= version <= cur["version"]:
+            raise ValueError(
+                f"cannot roll back to version {version}: table history is "
+                f"0..{cur['version']} (version never existed)"
+            )
         try:
             target = self.snapshot(version)
         except FileNotFoundError as e:
@@ -1062,7 +1085,6 @@ class LakeTable:
                 f"cannot roll back to version {version}: {len(missing)} data "
                 f"files already vacuumed (first: {missing[0]})"
             )
-        cur = self.snapshot()
         new_version = cur["version"] + 1
         self._commit(
             {
@@ -1079,6 +1101,21 @@ class LakeTable:
                 "summary": {"operation": "rollback", "to_version": version},
             }
         )
+        # check-then-commit race: a vacuum that started BEFORE this commit
+        # may delete the target's files (they looked expired to it). Once
+        # committed they are head-referenced and safe from NEW vacuums;
+        # re-verify and fail LOUDLY if the window was hit so the operator
+        # restores/rolls forward instead of discovering broken reads later.
+        # (Run vacuum and rollback from one maintenance process to avoid
+        # the race entirely.)
+        missing = [f for f in self._snap_files(target) if not os.path.exists(f)]
+        if missing:
+            raise RuntimeError(
+                f"rollback committed version {new_version} but a concurrent "
+                f"vacuum removed {len(missing)} of its data files (first: "
+                f"{missing[0]}); roll forward to version {cur['version']} "
+                f"(rollback({cur['version']})) or restore the files"
+            )
         return new_version
 
     def compact(
