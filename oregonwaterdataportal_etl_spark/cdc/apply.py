@@ -17,13 +17,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..lake.table import LakeTable, MergeResult
+from ..lake.table import LakeTable, MergeResult, tiebreak_cols, tiebreak_py
 
 
 def lww_dedup(
     changes: DataFrame,
     key_cols: list[str] = ("conv_id", "turn_idx"),
     lsn_col: str = "lsn",
+    op_col: str = "op",
 ) -> DataFrame:
     """Per-key last-writer-wins: keep the highest-LSN event per key.
 
@@ -31,8 +32,23 @@ def lww_dedup(
     (conv_id AND turn_idx), so a hot conversation spreads across
     partitions — the window itself never sees conversation-level skew,
     only per-(conv,turn) duplicate fan-in.
+
+    Equal-LSN events get a deterministic payload-hash tie-break
+    (lake.table.tiebreak_cols over payload columns + op, matching the
+    merge's total order and oracle_fold) so replay equality holds even
+    for pathological same-(key,lsn) pairs.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(lsn_col))
+    # hash-input convention shared with merge/_payload_tiebreak and
+    # oracle_fold: all non-lsn non-op columns in order (keys included —
+    # constant within a window partition, so harmless), then op
+    payload = [c for c in changes.columns if c not in (lsn_col, op_col)]
+    tb_in = [F.col(c) for c in payload]
+    if op_col in changes.columns:
+        tb_in.append(F.col(op_col))
+    t1, t2 = tiebreak_cols(tb_in)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(lsn_col), F.desc(t1), F.desc(t2)
+    )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -61,14 +77,28 @@ def apply_batch(
 def oracle_fold(events: list[dict], key_cols=("conv_id", "turn_idx")) -> dict:
     """Sequential LWW fold in pure Python (test oracle only; never in
     the data path). Events are folded in LSN order; highest LSN wins;
-    delete removes. Returns {key_tuple: row_dict}."""
+    delete removes. Returns {key_tuple: row_dict}.
+
+    Equal-LSN ties are resolved by the SAME deterministic payload-hash
+    total order as the engine (lake.table.tiebreak_py over all non-lsn
+    non-op values in event order, then op): per key, the event with the
+    lexicographically greatest (lsn, limb1, limb2) wins — an
+    engine-independent winner, stable across runs and input orderings.
+    """
+
+    def tb(ev):
+        vals = [v for k, v in ev.items() if k not in ("lsn", "op")]
+        vals.append(ev["op"])
+        return tiebreak_py(vals)
+
     state: dict = {}
-    applied_lsn: dict = {}
-    for ev in sorted(events, key=lambda e: e["lsn"]):
+    applied: dict = {}  # key -> (lsn, limb1, limb2) of the applied event
+    for ev in sorted(events, key=lambda e: (e["lsn"], tb(e))):
         key = tuple(ev[k] for k in key_cols)
-        if key in applied_lsn and applied_lsn[key] >= ev["lsn"]:
+        rank = (ev["lsn"], *tb(ev))
+        if key in applied and applied[key] >= rank:
             continue
-        applied_lsn[key] = ev["lsn"]
+        applied[key] = rank
         if ev["op"] == "delete":
             state.pop(key, None)
         else:

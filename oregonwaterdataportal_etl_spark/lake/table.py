@@ -75,6 +75,12 @@ _BUCKET_COL = "_b"
 _ACTION_COL = "_action"  # per-row merge outcome, written for metrics
 _DEL_COL = "_del"  # partition dir holding tombstones (winning deletes)
 _OP_COL = "_op"  # op column persisted in merge-on-read delta files
+# equal-LSN tie-break limbs persisted in MOR delta files: computed ONCE
+# at delta-write time so the read-path resolve can order same-(key,lsn)
+# events from different batches without touching payload columns
+# (payload hashing at read time would defeat column pruning)
+_TB1_COL = "_tb1"
+_TB2_COL = "_tb2"
 
 # ---- shuffle-byte discipline -------------------------------------
 # Every byte that rides the resolve exchange costs DRAM bandwidth at
@@ -125,6 +131,55 @@ def _dict_decode(code, fallback, values: list[str]):
     for i, v in enumerate(values):
         out = F.when(code == i, F.lit(v)).otherwise(out)
     return out
+
+
+# ---- equal-LSN total order ---------------------------------------
+# Two BATCH events with the same (key, lsn) had no defined winner
+# through round 2 (base-vs-batch ties break by __src). "Replay
+# equality" as a contract needs a TOTAL order, so the final tie-break
+# is a deterministic 120-bit hash of the canonical payload rendering
+# (values cast to string, nulls -> \x00 sentinel, \x1f-joined, md5,
+# split into two 60-bit limbs). md5 is used instead of xxhash64 so the
+# pure-Python oracle (cdc/apply.py:oracle_fold) and the DuckDB oracles
+# can reproduce the exact arithmetic — the same cross-engine trick as
+# the dedup hash families. Higher hash wins (desc), matching the
+# "highest sorts first" convention of the LSN itself.
+_TIEBREAK_SEP = "\x1f"
+_TIEBREAK_NULL = "\x00"
+
+
+def tiebreak_cols(cols: list) -> tuple["F.Column", "F.Column"]:
+    """(limb1, limb2): two 60-bit longs from one md5 over the canonical
+    rendering of ``cols``. Evaluated post-shuffle inside the window
+    sort — adds zero shuffle bytes."""
+    canon = F.concat_ws(
+        _TIEBREAK_SEP,
+        *[F.coalesce(c.cast("string"), F.lit(_TIEBREAK_NULL)) for c in cols],
+    )
+    h = F.md5(canon)
+    limb1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    limb2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+    return limb1, limb2
+
+
+def tiebreak_py(values) -> tuple[int, int]:
+    """Pure-Python twin of tiebreak_cols for the sequential oracle.
+    Canonical rendering parity with Spark's cast-to-string is exact for
+    str/int/bool/None (the types that can tie in practice); float and
+    timestamp rendering follows Spark's conventions closely enough for
+    tests but is not contractual."""
+    import hashlib
+
+    def canon(v):
+        if v is None:
+            return _TIEBREAK_NULL
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    s = _TIEBREAK_SEP.join(canon(v) for v in values)
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(h[0:15], 16), int(h[16:31], 16)
 
 
 def _and_all(exprs) -> "F.Column":
@@ -297,7 +352,9 @@ class LakeTable:
         if deltas is None:
             return base.drop(LSN_COL)
 
-        def tag(df, op_expr, src, filtered=False):
+        _no_tb = (F.lit(None).cast("long"), F.lit(None).cast("long"))
+
+        def tag(df, op_expr, src, filtered=False, tb=_no_tb):
             if key_pred is not None and not filtered:
                 df = df.filter(key_pred)
             return df.select(
@@ -305,6 +362,8 @@ class LakeTable:
                 F.col(LSN_COL).alias("__lsn"),
                 op_expr.alias("__op"),
                 F.lit(src).alias("__src"),
+                tb[0].alias("__tb1"),
+                tb[1].alias("__tb2"),
             )
 
         base_tagged = tag(base, F.lit(_OP_BASE).cast("tinyint"), 0, filtered=True)
@@ -315,7 +374,13 @@ class LakeTable:
             base_tagged = base_tagged.unionByName(
                 tag(tomb, F.lit(_OP_DELETE).cast("tinyint"), 0)
             )
-        upd_tagged = tag(deltas, _op_code(F.col(_OP_COL)), 1)
+        # same-(key,lsn) delta events from DIFFERENT batches order by
+        # their persisted write-time tie-break limbs — no payload hash
+        # at read time, so column pruning through the resolve survives
+        upd_tagged = tag(
+            deltas, _op_code(F.col(_OP_COL)), 1,
+            tb=(F.col(_TB1_COL), F.col(_TB2_COL)),
+        )
         winners = self._resolve(
             base_tagged, upd_tagged, snap["key_cols"],
             n_buckets if n_buckets is not None else snap["num_buckets"],
@@ -401,6 +466,11 @@ class LakeTable:
             + [
                 T.StructField(LSN_COL, T.LongType(), True),
                 T.StructField(_OP_COL, T.StringType(), True),
+                # pre-upgrade delta files lack the persisted tie-break
+                # limbs; parquet null-fills them (desc_nulls_last keeps
+                # their legacy nondeterministic-tie behavior)
+                T.StructField(_TB1_COL, T.LongType(), True),
+                T.StructField(_TB2_COL, T.LongType(), True),
             ]
         )
         return spark.read.schema(stored).parquet(*dfiles)
@@ -421,16 +491,44 @@ class LakeTable:
         )
         return spark.read.schema(stored).parquet(*tfiles)
 
+    @staticmethod
+    def _update_tiebreak(df_cols: list[str], evolved: T.StructType, op_col: str):
+        """Equal-LSN total-order tie-break for an incoming update batch:
+        two 60-bit md5 limbs over (evolved payload values in schema
+        order, normalized op string) — the exact convention of
+        cdc.apply.oracle_fold/tiebreak_py. Computed ONCE map-side on
+        the update rows only (16 B/row through the exchange beats
+        re-hashing the much larger base side post-shuffle, and the MOR
+        path persists the limbs so reads never hash payload at all)."""
+        cols = [
+            F.col(f.name).cast(f.dataType)
+            if f.name in df_cols
+            else F.lit(None).cast(f.dataType)
+            for f in evolved.fields
+        ]
+        cols.append(_op_decode(_op_code(F.col(op_col))))
+        return tiebreak_cols(cols)
+
     def _resolve(self, base_tagged: DataFrame, upd_tagged: DataFrame,
                  key_cols: list[str], n_buckets: int) -> DataFrame:
         """Shared LWW resolution: union base+updates, ONE repartition
         on the key columns (satisfies both the ranking window and the
-        bucket layout — see _bucket_expr), rank by lsn desc with
-        base-first tie-break, keep winners. Adds __rn/__all_chg."""
+        bucket layout — see _bucket_expr), rank by (lsn desc, base
+        first, payload-hash limbs desc) — a TOTAL order, so equal-LSN
+        batch events have one deterministic winner; keep winners. Both
+        inputs must carry __tb1/__tb2 (null on the base side: base
+        beats batch via __src before the limbs are consulted). Adds
+        __rn/__all_chg."""
         unioned = base_tagged.unionByName(upd_tagged).repartition(
             n_buckets, *[F.col(c) for c in key_cols]
         )
-        w = Window.partitionBy(*key_cols).orderBy(F.desc("__lsn"), F.asc("__src"))
+        order = [
+            F.desc("__lsn"),
+            F.asc("__src"),
+            F.col("__tb1").desc_nulls_last(),
+            F.col("__tb2").desc_nulls_last(),
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
         ranked = unioned.select(
             "*",
             F.row_number().over(w).alias("__rn"),
@@ -551,7 +649,12 @@ class LakeTable:
         keys = [F.col(c) for c in snap["key_cols"]]
         return F.pmod(F.hash(*keys), F.lit(snap["num_buckets"])).cast("int")
 
-    def _write_buckets(self, df: DataFrame, pre_partitioned: bool = False) -> dict[str, list[str]]:
+    def _write_buckets(
+        self,
+        df: DataFrame,
+        pre_partitioned: bool = False,
+        _snap: dict | None = None,
+    ) -> dict[str, list[str]]:
         """Write df (stored schema + _b) into per-bucket parquet files.
 
         pre_partitioned=True: df is already hash-partitioned on the key
@@ -560,7 +663,7 @@ class LakeTable:
         Skew note: buckets hash the FULL key (conv_id AND turn_idx), so
         a hot conversation spreads across buckets by construction —
         this replaces explicit salting."""
-        snap = self.snapshot()
+        snap = _snap if _snap is not None else self.snapshot()
         key_cols = snap["key_cols"]
         out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
         if not pre_partitioned:
@@ -585,8 +688,8 @@ class LakeTable:
         out = df
         if LSN_COL not in df.columns:
             out = out.withColumn(LSN_COL, F.lit(lsn).cast("long"))
-        out = out.withColumn(_BUCKET_COL, self._bucket_expr())
-        files = self._write_buckets(out)
+        out = out.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        files = self._write_buckets(out, _snap=snap)
         new_version = snap["version"] + 1
         self._commit(
             {
@@ -696,8 +799,11 @@ class LakeTable:
         # nothing to prune, save the scan. With deltas present the real
         # touched set matters: only touched buckets' deltas get folded
         # and cleared (selective compaction depends on this).
+        # pass the already-parsed snapshot everywhere below: the manifest
+        # JSON can carry thousands of file paths, and merge is the hot
+        # apply path — don't re-parse it per helper (round-2 advice)
         n_buckets = snap["num_buckets"]
-        bexpr = self._bucket_expr()
+        bexpr = self._bucket_expr(snap)
         upd = updates
         batch_rows: int | None = None
         if _touched_override is not None:
@@ -710,12 +816,20 @@ class LakeTable:
             touched = list(range(n_buckets))
 
         dicts = snap.get("dict_cols") or {}
-        upd_tagged = upd.select(
-            *self._tag_select(upd.columns, evolved, dicts),
-            F.col(lsn_col).cast("long").alias("__lsn"),
-            _op_code(F.col(op_col)).alias("__op"),
-            F.lit(1).alias("__src"),
-        )
+        _null_tb = (F.lit(None).cast("long"), F.lit(None).cast("long"))
+
+        def tag_updates(df):
+            t1, t2 = self._update_tiebreak(df.columns, evolved, op_col)
+            return df.select(
+                *self._tag_select(df.columns, evolved, dicts),
+                F.col(lsn_col).cast("long").alias("__lsn"),
+                _op_code(F.col(op_col)).alias("__op"),
+                F.lit(1).alias("__src"),
+                t1.alias("__tb1"),
+                t2.alias("__tb2"),
+            )
+
+        upd_tagged = tag_updates(upd)
 
         # -- merge-on-read fast path --------------------------------
         # Apply cost independent of table size: dedup the batch alone
@@ -737,6 +851,10 @@ class LakeTable:
                     F.col(LSN_COL).alias("__lsn"),
                     _op_code(F.col(_OP_COL)).alias("__op"),
                     F.lit(1).alias("__src"),
+                    # limbs persisted at delta-write time (null for
+                    # pre-upgrade delta files)
+                    F.col(_TB1_COL).alias("__tb1"),
+                    F.col(_TB2_COL).alias("__tb2"),
                 )
             )
 
@@ -752,7 +870,7 @@ class LakeTable:
         # Gated on per-bucket row-count lineage (snapshot "row_counts")
         # so small-base merges keep the cheaper single-path plan, and on
         # batch size so the broadcast stays bounded.
-        base = self._read_internal(spark, buckets=touched)
+        base = self._read_internal(spark, buckets=touched, _snap=snap)
         row_counts = snap.get("row_counts") or {}
         base_rows_touched = sum(row_counts.get(str(b), 0) for b in touched)
         use_passthrough = bool(
@@ -772,12 +890,7 @@ class LakeTable:
             # (the bucket-granularity stray guard cannot see it). The
             # checkpoint makes key-granularity divergence impossible.
             upd = upd.localCheckpoint(eager=True)
-            upd_tagged = upd.select(
-                *self._tag_select(upd.columns, evolved, dicts),
-                F.col(lsn_col).cast("long").alias("__lsn"),
-                _op_code(F.col(op_col)).alias("__op"),
-                F.lit(1).alias("__src"),
-            )
+            upd_tagged = tag_updates(upd)
             bkeys = upd.select(
                 *[F.col(c).alias(f"__k_{c}") for c in key_cols]
             ).distinct()
@@ -793,6 +906,8 @@ class LakeTable:
             F.col(LSN_COL).alias("__lsn"),
             F.lit(_OP_BASE).cast("tinyint").alias("__op"),
             F.lit(0).alias("__src"),
+            _null_tb[0].alias("__tb1"),
+            _null_tb[1].alias("__tb2"),
         )
         # tombstones of touched buckets re-enter as base-side deletes:
         # a stale lower-LSN event for a deleted key loses to the
@@ -808,6 +923,8 @@ class LakeTable:
                     F.col(LSN_COL).alias("__lsn"),
                     F.lit(_OP_TOMBSTONE).cast("tinyint").alias("__op"),
                     F.lit(0).alias("__src"),
+                    _null_tb[0].alias("__tb1"),
+                    _null_tb[1].alias("__tb2"),
                 )
             )
 
@@ -991,6 +1108,11 @@ class LakeTable:
             F.col("__lsn").alias(LSN_COL),
             # delta files keep the public string op (normalized)
             _op_decode(F.col("__op")).alias(_OP_COL),
+            # persist the tie-break limbs so the read-path resolve can
+            # totally order cross-batch equal-LSN events WITHOUT hashing
+            # payload (which would defeat read-side column pruning)
+            F.col("__tb1").alias(_TB1_COL),
+            F.col("__tb2").alias(_TB2_COL),
             bexpr.alias(_BUCKET_COL),
         )
         out_dir = os.path.join(self.data_dir, f"d-{uuid.uuid4().hex}")
@@ -1168,14 +1290,19 @@ class LakeTable:
         stored = self._stored_schema()
         all_small = [f for fl in to_rewrite.values() for f in fl]
         df = spark.read.schema(stored).parquet(*all_small)
-        out = df.withColumn(_BUCKET_COL, self._bucket_expr())
+        out = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         # one task per bucket: coalesce within the bucket, no global shuffle
-        new_files = self._write_buckets(out)
+        new_files = self._write_buckets(out, _snap=snap)
         files = dict(snap["files"])
         for b in to_rewrite:
             files.pop(b, None)
         for b, fl in new_files.items():
             files[b] = fl
+        # bin-pack preserves rows per bucket, but buckets whose lineage
+        # was never recorded (e.g. written before row_counts existed)
+        # get it backfilled here from the fresh files' parquet footers
+        row_counts = dict(snap.get("row_counts", {}))
+        row_counts.update(_rows_per_bucket(new_files))
         new_version = snap["version"] + 1
         self._commit(
             {
@@ -1190,8 +1317,7 @@ class LakeTable:
                 # silently dropped them from the snapshot (review find)
                 "deltas": dict(snap.get("deltas", {})),
                 "tombstones": dict(snap.get("tombstones", {})),
-                # bin-pack preserves rows per bucket: lineage carries
-                "row_counts": dict(snap.get("row_counts", {})),
+                "row_counts": row_counts,
                 "summary": {
                     "operation": "compact",
                     "rewritten_buckets": sorted(int(b) for b in to_rewrite),
@@ -1262,6 +1388,35 @@ class LakeTable:
                     removed += 1
                 except FileNotFoundError:
                     pass
+        # sweep write-dir debris: Spark sidecars (_SUCCESS, .crc) and the
+        # emptied w-/p-/d-/t- directories accumulate unboundedly across
+        # merge/compact/expire cycles otherwise. A dir is debris only if
+        # it holds NO live parquet anywhere below it and is past the same
+        # grace window (an in-flight writer's dir contains fresh files).
+        for root, dirs, fnames in os.walk(self.data_dir, topdown=False):
+            if root == self.data_dir:
+                continue
+            live_below = any(
+                f.endswith(".parquet")
+                for _r, _d, fl in os.walk(root)
+                for f in fl
+            )
+            if live_below:
+                continue
+            try:
+                if now - os.path.getmtime(root) < orphan_grace_seconds:
+                    continue
+            except OSError:
+                continue
+            for fname in fnames:  # _SUCCESS, .*.crc, _committed_*
+                try:
+                    os.remove(os.path.join(root, fname))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(root)  # fails (kept) if a concurrent writer added files
+            except OSError:
+                pass
         # expire old snapshot manifests too
         for snap in history[:-keep_last]:
             p = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
@@ -1309,7 +1464,7 @@ class LakeTable:
         if removed == 0:
             return 0
         survivors = df.filter(F.col(LSN_COL) >= below_lsn).withColumn(
-            _BUCKET_COL, self._bucket_expr()
+            _BUCKET_COL, self._bucket_expr(snap)
         )
         out_dir = os.path.join(self.data_dir, f"t-{uuid.uuid4().hex}")
         survivors.repartition(snap["num_buckets"], *[F.col(c) for c in snap["key_cols"]]) \

@@ -102,19 +102,25 @@ def harvest_observations(
                 obs.withColumn("__k", F.col("ds_id").cast("string")),
                 wm, "__k", ts_col, "__wm",
             ).drop("__k")
-    elif table.read(spark).take(1):
-        # legacy path: per-stream watermark aggregated from the sink
-        existing = table.read(spark)
-        wm = time_range_per_key(
-            existing, ["conv_id"], "ts"
-        ).select(F.col("conv_id").alias("__k"), F.col("range_end").alias("__wm"))
-        obs = newer_than_watermark(
-            obs.withColumn("__k", F.col("ds_id").cast("string")),
-            wm,
-            "__k",
-            ts_col,
-            "__wm",
-        ).drop("__k")
+    else:
+        # legacy path: per-stream watermark aggregated from the sink.
+        # The emptiness gate is metadata-only (snapshot row lineage +
+        # delta-file counts) and the base is resolved ONCE — round 1
+        # evaluated the full MOR resolve twice per batch here (take(1)
+        # probe + aggregation).
+        st = table.stats()
+        if st["rows_base"] > 0 or st["delta_files"] > 0:
+            existing = table.read(spark)
+            wm = time_range_per_key(
+                existing, ["conv_id"], "ts"
+            ).select(F.col("conv_id").alias("__k"), F.col("range_end").alias("__wm"))
+            obs = newer_than_watermark(
+                obs.withColumn("__k", F.col("ds_id").cast("string")),
+                wm,
+                "__k",
+                ts_col,
+                "__wm",
+            ).drop("__k")
     if valid_range is not None:
         assert_ts_in_range(obs, ts_col, *valid_range)
 
