@@ -3,6 +3,7 @@ from .offsets import OffsetLog
 from .manifests import ManifestLog
 from .apply import lww_dedup, apply_batch, oracle_fold
 from .runner import CdcRunner
+from .source import LsnRangedParquetSource
 from .watermarks import WatermarkStore
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "apply_batch",
     "oracle_fold",
     "CdcRunner",
+    "LsnRangedParquetSource",
 ]

@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..lake.table import LakeTable, MergeResult
+from ..lake.table import CommitConflictError, LakeTable, MergeResult
 from .manifests import ManifestLog, batch_id_for_window
 from .offsets import OffsetLog
 
@@ -35,11 +35,22 @@ class CdcRunner:
         op_col: str = "op",
         mode: str = "cow",
         compact_every: int = 0,
+        commit_retries: int = 3,
     ):
         """mode='mor' + compact_every=N is the high-rate configuration:
         append delta files per window (apply cost independent of table
         size) and fold them into the base every N committed windows —
-        the Hudi-style MOR ingest loop."""
+        the Hudi-style MOR ingest loop.
+
+        commit_retries: how many times a window's merge is retried
+        through a snapshot-version race (CommitConflictError) before
+        failing the window. A runner sharing its table with a
+        maintenance process (compact/expire/vacuum job) WILL
+        occasionally lose the optimistic-commit race; the merge is
+        idempotent by the LSN guard, so re-reading the new snapshot and
+        re-merging is always safe — the reference's tolerate-concurrent
+        -duplicate-create semantics (userCode/wrd/test_frost.py:28-53)
+        recast for snapshot commits."""
         self.table = table
         self.offsets = offsets
         self.manifests = manifests
@@ -48,6 +59,7 @@ class CdcRunner:
         self.op_col = op_col
         self.mode = mode
         self.compact_every = compact_every
+        self.commit_retries = commit_retries
         self._windows_since_compact = 0
 
     def run_window(self, lsn_lo: int, lsn_hi: int) -> MergeResult | None:
@@ -67,7 +79,17 @@ class CdcRunner:
             if lsn_hi > self.offsets.last_lsn():
                 self.offsets.commit(lsn_hi, batch_id)
             return None
-        batch = self.source().filter(
+        # range-capable sources (cdc.source.LsnRangedParquetSource) hand
+        # back only the FILES whose footer lsn stats intersect the
+        # window — O(files-in-window) per window instead of K scans of
+        # the whole log. The row filter below still applies either way
+        # (footer pruning is an optimization, not a correctness
+        # dependency).
+        if getattr(self.source, "supports_range", False):
+            src = self.source(lsn_lo, lsn_hi)
+        else:
+            src = self.source()
+        batch = src.filter(
             (F.col(self.lsn_col) >= lsn_lo) & (F.col(self.lsn_col) <= lsn_hi)
         )
         if batch.isEmpty():
@@ -78,22 +100,43 @@ class CdcRunner:
             self.offsets.commit(lsn_hi, batch_id)
             return None
         self.manifests.begin(batch_id, lsn_lo, lsn_hi)
-        result = self.table.merge(
-            batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
-        )
+        # retry through snapshot-version races with concurrent
+        # maintenance commits: each attempt re-reads CURRENT inside
+        # merge(), and the loser's orphaned write dir is age-gated
+        # vacuum-safe. Safe to repeat — the LSN guard makes a replayed
+        # merge a no-op for rows the winner already applied.
+        for attempt in range(self.commit_retries + 1):
+            try:
+                result = self.table.merge(
+                    batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
+                )
+                break
+            except CommitConflictError:
+                if attempt == self.commit_retries:
+                    raise
         self.manifests.commit(batch_id, result.as_dict())
         self.offsets.commit(lsn_hi, batch_id)
         if self.compact_every:
             self._windows_since_compact += 1
             if self._windows_since_compact >= self.compact_every:
                 spark = batch.sparkSession
-                if self.mode == "mor":
-                    self.table.compact(spark)
-                # expire tombstones up to the committed offset watermark:
-                # sub-watermark windows are manifest-committed no-ops, so
-                # their tombstones can never be needed again. The offsets
-                # log is passed so the bound is clamped inside the method.
-                self.table.expire_tombstones(spark, offsets=self.offsets)
+                # same bounded retry: maintenance is idempotent against
+                # the current snapshot (a replayed compact finds nothing
+                # left to fold/bin-pack and commits a metadata no-op)
+                for attempt in range(self.commit_retries + 1):
+                    try:
+                        if self.mode == "mor":
+                            self.table.compact(spark)
+                        # expire tombstones up to the committed offset
+                        # watermark: sub-watermark windows are manifest-
+                        # committed no-ops, so their tombstones can never
+                        # be needed again. The offsets log is passed so
+                        # the bound is clamped inside the method.
+                        self.table.expire_tombstones(spark, offsets=self.offsets)
+                        break
+                    except CommitConflictError:
+                        if attempt == self.commit_retries:
+                            raise
                 self._windows_since_compact = 0
         return result
 
@@ -101,9 +144,14 @@ class CdcRunner:
         """Trigger.AvailableNow analog: loop windows from the resume
         LSN until the source is exhausted."""
         results = []
-        src = self.source()
-        max_lsn_row = src.agg(F.max(self.lsn_col).alias("m")).collect()[0]
-        max_lsn = max_lsn_row["m"]
+        max_lsn = None
+        if getattr(self.source, "supports_range", False):
+            # metadata-only high-water mark (parquet footers, no job)
+            max_lsn = self.source.max_lsn()
+        if max_lsn is None:
+            src = self.source()
+            max_lsn_row = src.agg(F.max(self.lsn_col).alias("m")).collect()[0]
+            max_lsn = max_lsn_row["m"]
         if max_lsn is None:
             return results
         lo = self.offsets.resume_lsn()

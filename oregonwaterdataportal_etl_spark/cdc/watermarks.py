@@ -5,78 +5,198 @@ Reference analog: FROST's indexed per-stream phenomenonTime range read
 the newest observation I already hold for stream X?" before admitting
 new rows. Round 1 answered that with an aggregation over the ENTIRE
 base table per batch; at a 10^10-row base that is a full scan per
-harvest. This store replaces it with a tiny side table updated from
-each admitted batch: cost O(batch + n_streams) per harvest,
-independent of base size.
+harvest. Round 2 replaced it with a side table — but rewrote the WHOLE
+side table per batch (O(n_streams) write per window: a multi-GB
+rewrite per minute at 10^8 streams).
 
-Storage: versioned parquet directories with an atomically-swapped
-CURRENT pointer (the same commit discipline as LakeTable/OffsetLog).
-The table holds one row per stream key — at 10^8 streams that is a few
-GB of parquet, still orders of magnitude under the base. If stream
-cardinality ever rivals row cardinality, the store degenerates by
-design into exactly the base-aggregation it replaced — at that point
-fold the watermark read into the merge's touched-bucket scan instead.
+Round 3 makes the store itself merge-on-read, reusing the LakeTable
+MOR discipline at miniature scale:
+
+- ``update`` writes ONLY the batch's per-key maxima as a delta
+  directory — O(batch keys) per window, independent of store size —
+  and commits a manifest listing (base, deltas) with the same
+  O_EXCL-versioned optimistic concurrency as ``LakeTable._commit``;
+- ``read`` resolves base ∪ deltas with one max-per-key aggregation;
+- once ``compact_every`` deltas accumulate, ``update`` folds them
+  into a new base (one shuffle over the store, amortized);
+- concurrent updaters are SAFE, not just absorbed: the loser of a
+  version race re-reads the manifest and re-commits with its delta
+  appended (watermark merge is max — commutative and associative, so
+  replaying the commit in any order yields the same store);
+- superseded version directories are removed only past an age grace
+  window (``cleanup_grace_seconds``), so a reader still scanning an
+  old version never has files deleted under it (the same in-flight
+  reader protection as ``LakeTable.vacuum``).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lake.table import _fsync_dir
+from ..lake.table import CommitConflictError, _fsync_dir
 
 
 class WatermarkStore:
-    def __init__(self, path: str, key_col: str = "conv_id", wm_col: str = "wm"):
+    def __init__(
+        self,
+        path: str,
+        key_col: str = "conv_id",
+        wm_col: str = "wm",
+        compact_every: int = 8,
+        cleanup_grace_seconds: float = 3600.0,
+        keep_last_versions: int = 2,
+    ):
         self.path = path
         self.key_col = key_col
         self.wm_col = wm_col
+        self.compact_every = compact_every
+        self.cleanup_grace_seconds = cleanup_grace_seconds
+        self.keep_last_versions = keep_last_versions
         os.makedirs(path, exist_ok=True)
 
+    # ------------------------------------------------------------ meta
     @property
     def _ptr(self) -> str:
         return os.path.join(self.path, "CURRENT")
 
-    def _current_dir(self) -> str | None:
+    def _current_version(self) -> int | None:
         if not os.path.exists(self._ptr):
             return None
         with open(self._ptr) as f:
-            return os.path.join(self.path, f.read().strip())
+            return int(f.read().strip())
 
-    def exists(self) -> bool:
-        return self._current_dir() is not None
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.path, f"v-{version:08d}.json")) as f:
+            return json.load(f)
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """(key, wm) — one row per stream, or None before first update."""
-        d = self._current_dir()
-        if d is None:
-            return None
-        return spark.read.parquet(d)
-
-    def update(self, batch_watermarks: DataFrame) -> None:
-        """Fold a batch's per-key max into the store: union with the
-        current state, keep max(wm) per key, write a new version, swing
-        the pointer. One tiny shuffle over (store + distinct batch keys)."""
-        df = batch_watermarks.select(
-            F.col(self.key_col), F.col(self.wm_col)
-        )
-        cur = self.read(df.sparkSession)
-        if cur is not None:
-            df = df.unionByName(cur)
-        merged = df.groupBy(self.key_col).agg(F.max(self.wm_col).alias(self.wm_col))
-        vdir = f"v-{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, vdir))
-        old = self._current_dir()
+    def _commit(self, manifest: dict) -> None:
+        """O_EXCL create of v-N.json then atomic CURRENT swap — the
+        LakeTable commit discipline; the loser of a concurrent race
+        gets CommitConflictError and retries with a re-read parent."""
+        mpath = os.path.join(self.path, f"v-{manifest['version']:08d}.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"watermark version {manifest['version']} committed concurrently"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = self._ptr + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(vdir)
+            f.write(str(manifest["version"]))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._ptr)
         _fsync_dir(self.path)
-        if old is not None and os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+
+    def exists(self) -> bool:
+        return self._current_version() is not None
+
+    # ------------------------------------------------------------ read
+    def _resolved(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        dirs = ([manifest["base"]] if manifest.get("base") else []) + manifest["deltas"]
+        df = spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+        return df.groupBy(self.key_col).agg(F.max(self.wm_col).alias(self.wm_col))
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """(key, wm) — one row per stream, or None before first update.
+        MOR resolve: base ∪ delta dirs, max per key (one tiny shuffle
+        over n_streams + recent batch keys)."""
+        v = self._current_version()
+        if v is None:
+            return None
+        return self._resolved(spark, self._manifest(v))
+
+    # ---------------------------------------------------------- update
+    def update(self, batch_watermarks: DataFrame, max_retries: int = 5) -> None:
+        """Fold a batch's per-key maxima into the store: write them as
+        ONE delta directory (cost O(batch keys), never O(n_streams))
+        and commit a manifest appending it. Every ``compact_every``
+        deltas, fold base+deltas into a fresh base instead (amortized
+        store-size shuffle — the LakeTable MOR compaction pattern)."""
+        spark = batch_watermarks.sparkSession
+        ddir = f"d-{uuid.uuid4().hex}"
+        (
+            batch_watermarks.select(F.col(self.key_col), F.col(self.wm_col))
+            .groupBy(self.key_col)
+            .agg(F.max(self.wm_col).alias(self.wm_col))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, ddir))
+        )
+        for _attempt in range(max_retries):
+            v = self._current_version()
+            parent = self._manifest(v) if v is not None else {"base": None, "deltas": []}
+            new_v = (v if v is not None else -1) + 1
+            deltas = parent["deltas"] + [ddir]
+            manifest = {"version": new_v, "base": parent.get("base"), "deltas": deltas}
+            if len(deltas) >= self.compact_every:
+                # fold into a fresh base; the commit race below still
+                # protects us — if another updater wins, we recompact
+                # against the NEW parent on retry
+                bdir = f"b-{uuid.uuid4().hex}"
+                self._resolved(spark, manifest).write.mode("overwrite").parquet(
+                    os.path.join(self.path, bdir)
+                )
+                manifest = {"version": new_v, "base": bdir, "deltas": []}
+            try:
+                self._commit(manifest)
+                break
+            except CommitConflictError:
+                if manifest["deltas"] == [] and manifest.get("base"):
+                    shutil.rmtree(
+                        os.path.join(self.path, manifest["base"]), ignore_errors=True
+                    )
+                continue
+        else:
+            raise CommitConflictError(
+                f"watermark update lost {max_retries} consecutive version races"
+            )
+        self._cleanup()
+
+    # --------------------------------------------------------- cleanup
+    def _cleanup(self) -> None:
+        """Remove version dirs/manifests superseded by the newest
+        ``keep_last_versions`` manifests, but only past the age grace
+        window — a reader mid-scan on an old version keeps its files
+        (the advisor's in-flight-reader finding on round 2's immediate
+        rmtree)."""
+        v = self._current_version()
+        if v is None:
+            return
+        live: set[str] = set()
+        for kv in range(max(0, v - self.keep_last_versions + 1), v + 1):
+            try:
+                m = self._manifest(kv)
+            except FileNotFoundError:
+                continue
+            if m.get("base"):
+                live.add(m["base"])
+            live.update(m["deltas"])
+        now = time.time()
+        for entry in os.listdir(self.path):
+            p = os.path.join(self.path, entry)
+            if entry.startswith(("b-", "d-")) and entry not in live:
+                try:
+                    if now - os.path.getmtime(p) >= self.cleanup_grace_seconds:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+            elif entry.startswith("v-") and entry.endswith(".json"):
+                try:
+                    mv = int(entry[2:-5])
+                    if mv <= v - self.keep_last_versions and (
+                        now - os.path.getmtime(p) >= self.cleanup_grace_seconds
+                    ):
+                        os.remove(p)
+                except (ValueError, OSError):
+                    pass

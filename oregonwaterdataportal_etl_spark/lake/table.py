@@ -536,6 +536,37 @@ class LakeTable:
         )
         return ranked.filter(F.col("__rn") == 1)
 
+    def _resolve_agg(self, base_tagged: DataFrame, upd_tagged: DataFrame,
+                     key_cols: list[str]) -> DataFrame:
+        """A/B alternative to _resolve: LWW as ONE aggregate —
+        max_by(payload struct, (lsn, -src, tb1, tb2)) + min(src) — so
+        Spark applies map-side PARTIAL aggregation before the exchange
+        (duplicate keys collapse before riding the wire; the window
+        formulation cannot, because the min-over-partition metric
+        column blocks the WindowGroupLimit rank pushdown). Semantics
+        are identical to _resolve iff the order is total — which the
+        tie-break limbs now guarantee. NOTE: the aggregate's own
+        exchange is hashpartitioning(key_cols, spark.sql.shuffle
+        .partitions); bucket-aligned single-exchange writes therefore
+        need shuffle_partitions == num_buckets in this mode. Kept
+        behind merge(resolve_strategy=...) for measured A/B — see
+        DESIGN.md for the recorded verdict."""
+        unioned = base_tagged.unionByName(upd_tagged)
+        data_cols = [c for c in unioned.columns if c not in key_cols]
+        rank = F.struct(
+            F.col("__lsn").alias("l"),
+            (-F.col("__src")).alias("ns"),
+            F.col("__tb1").alias("t1"),
+            F.col("__tb2").alias("t2"),
+        )
+        agg = unioned.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.max_by(F.struct(*[F.col(c) for c in data_cols]), rank).alias("__w"),
+            F.min("__src").alias("__all_chg"),
+        )
+        return agg.select(
+            *key_cols, *[F.col(f"__w.{c}").alias(c) for c in data_cols], "__all_chg"
+        )
+
     def _read_internal(
         self,
         spark: SparkSession,
@@ -711,30 +742,74 @@ class LakeTable:
         return new_version
 
     # ---------------------------------------------------------- merge
+    # Iceberg-safe type promotions. Parquet files written with the
+    # narrow type read back natively under the wide schema on Spark 4's
+    # vectorized reader (verified: int32->long, float->double), so
+    # widening is a pure metadata change — no rewrite.
+    _INT_RANK = {T.ByteType(): 1, T.ShortType(): 2, T.IntegerType(): 3, T.LongType(): 4}
+    _FLOAT_RANK = {T.FloatType(): 1, T.DoubleType(): 2}
+
+    @classmethod
+    def _widened(cls, a: T.DataType, b: T.DataType) -> T.DataType | None:
+        """The wider of two types if they sit on one safe-promotion
+        chain (integral or floating), else None."""
+        for rank in (cls._INT_RANK, cls._FLOAT_RANK):
+            if a in rank and b in rank:
+                return a if rank[a] >= rank[b] else b
+        return None
+
     def evolve_schema(self, incoming: T.StructType) -> T.StructType:
-        """Additive schema evolution: new columns in the incoming batch
-        are appended to the table schema (Iceberg ALTER TABLE ADD
-        COLUMNS analog; reference: pydantic extra='allow',
-        userCode/groundwater/wells.py:30,269 and the carried-through
-        undeclared field test userCode/groundwater/wells_test.py:29-31).
-        Type changes or dropped columns are NOT evolution — error."""
+        """Schema evolution at merge time (Iceberg ALTER TABLE analog;
+        reference: pydantic extra='allow', userCode/groundwater/
+        wells.py:30,269 and the carried-through undeclared field test
+        userCode/groundwater/wells_test.py:29-31):
+
+        - ADD: new incoming columns are appended (old files null-fill);
+        - WIDEN: Iceberg-safe promotions (int->long, float->double,
+          and the byte/short prefixes) adopt the WIDER of the stored
+          and incoming type — stored narrow files read back under the
+          wide schema natively, and a narrower incoming batch casts up;
+        - KEY columns never widen: Spark's Murmur3 hashes int and long
+          to DIFFERENT values, so a key-type change would silently
+          scatter existing keys across wrong buckets — error instead;
+        - anything else (string->int, dropped columns, ...) is not
+          evolution — error."""
         current = self.schema()
+        key_cols = set(self.snapshot()["key_cols"])
         cur_names = {f.name: f for f in current.fields}
+        out = list(current.fields)
         added = []
+        changed = False
         for f in incoming.fields:
             if f.name in (LSN_COL, _BUCKET_COL, _ACTION_COL, _DEL_COL, _OP_COL):
                 continue
             if f.name in cur_names:
-                if f.dataType != cur_names[f.name].dataType:
+                cur_t = cur_names[f.name].dataType
+                if f.dataType == cur_t:
+                    continue
+                wide = self._widened(cur_t, f.dataType)
+                if wide is None:
                     raise ValueError(
                         f"incompatible type change for column {f.name}: "
-                        f"{cur_names[f.name].dataType} -> {f.dataType}"
+                        f"{cur_t} -> {f.dataType}"
                     )
+                if f.name in key_cols and wide != cur_t:
+                    raise ValueError(
+                        f"cannot widen key column {f.name} ({cur_t} -> "
+                        f"{wide}): the bucket layout hashes the stored "
+                        f"type; recreate the table to change key types"
+                    )
+                if wide != cur_t:
+                    out = [
+                        T.StructField(f.name, wide, True) if g.name == f.name else g
+                        for g in out
+                    ]
+                    changed = True
             else:
                 added.append(T.StructField(f.name, f.dataType, True))
-        if not added:
+        if not added and not changed:
             return current
-        return T.StructType(list(current.fields) + added)
+        return T.StructType(out + added)
 
     def merge(
         self,
@@ -744,6 +819,7 @@ class LakeTable:
         mode: str = "cow",
         passthrough: bool = False,
         passthrough_max_rows: int = 5_000_000,
+        resolve_strategy: str = "window",
         _touched_override: list[int] | None = None,
     ) -> MergeResult:
         """Apply a change batch with LWW-by-LSN semantics.
@@ -939,7 +1015,10 @@ class LakeTable:
         # the W1 LWW operator (userCode/awqms/dag.py:155-187), ordered
         # by lsn desc with base-first tie-break (replayed same-LSN
         # events are no-ops).
-        winners = self._resolve(base_tagged, upd_tagged, key_cols, n_buckets)
+        if resolve_strategy == "agg":
+            winners = self._resolve_agg(base_tagged, upd_tagged, key_cols)
+        else:
+            winners = self._resolve(base_tagged, upd_tagged, key_cols, n_buckets)
 
         # -- single-pass write + metrics ----------------------------
         # ONE Spark job writes everything: surviving rows land in
