@@ -163,6 +163,24 @@ def q_cdc_lww_fold(spark, sf):
     )
 
 
+def q_lww_tiebreak(spark, sf):
+    """Round-3 equal-LSN total order, value-checked cross-engine: LSNs
+    are deliberately collapsed (event_id % 8) so every user group
+    carries same-LSN ties, and the winner is decided by the md5
+    payload-hash tie-break (lake.table.tiebreak_cols) — whose exact
+    arithmetic the DuckDB oracle replicates (the same cross-engine
+    md5 discipline as the dedup hash families)."""
+    from oregonwaterdataportal_etl_spark.cdc import lww_dedup
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(8)).alias("lsn"),
+        "event_type",
+        "props",
+    )
+    return lww_dedup(ev, key_cols=["user_id"], lsn_col="lsn", tiebreak_family="md5")
+
+
 def q_latest_per_key(spark, sf):
     """W2: top-1 latest per stream ($orderby desc take-first)."""
     ev = _t(spark, sf, "events")
@@ -548,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_new_rows": q_anti_join_new_rows,
         "interval_containment": q_interval_containment,
         "lww_window": q_lww_window,
+        "lww_tiebreak": q_lww_tiebreak,
         "cdc_lww_fold": q_cdc_lww_fold,
         "latest_per_key": q_latest_per_key,
         "argmax_dedup": q_argmax_dedup,
@@ -884,6 +903,31 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # exact replica of lake.table.tiebreak_cols: md5 over the
+        # canonical payload rendering (non-lsn columns in order, nulls
+        # -> chr(0), chr(31)-joined), split into two 60-bit limbs
+        "lww_tiebreak": """
+            WITH ev AS (
+              SELECT user_id, event_id % 8 AS lsn, event_type, props
+              FROM events
+            ), tb AS (
+              SELECT *, md5(concat_ws(chr(31),
+                       coalesce(cast(user_id AS VARCHAR), chr(0)),
+                       coalesce(event_type, chr(0)),
+                       coalesce(props, chr(0)))) AS h
+              FROM ev
+            ), ranked AS (
+              SELECT user_id, lsn, event_type, props,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY lsn DESC,
+                         cast(concat('0x', substr(h, 1, 15)) AS BIGINT) DESC,
+                         cast(concat('0x', substr(h, 17, 15)) AS BIGINT) DESC
+                     ) rn
+              FROM tb
+            )
+            SELECT user_id, lsn, event_type, props FROM ranked WHERE rn = 1
         """,
         "cdc_lww_fold": """
             SELECT user_id, k, event_id, round(value, 4) AS value

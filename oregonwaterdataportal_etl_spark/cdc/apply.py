@@ -25,6 +25,7 @@ def lww_dedup(
     key_cols: list[str] = ("conv_id", "turn_idx"),
     lsn_col: str = "lsn",
     op_col: str = "op",
+    tiebreak_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-key last-writer-wins: keep the highest-LSN event per key.
 
@@ -35,17 +36,19 @@ def lww_dedup(
 
     Equal-LSN events get a deterministic payload-hash tie-break
     (lake.table.tiebreak_cols over payload columns + op, matching the
-    merge's total order and oracle_fold) so replay equality holds even
-    for pathological same-(key,lsn) pairs.
+    merge's total order) so replay equality holds even for pathological
+    same-(key,lsn) pairs. tiebreak_family="xxhash64" (default) is the
+    at-scale choice; "md5" is bit-reproducible by oracle_fold and ANSI
+    SQL (use it when asserting tie winners cross-engine).
     """
-    # hash-input convention shared with merge/_payload_tiebreak and
+    # hash-input convention shared with merge/_update_tiebreak and
     # oracle_fold: all non-lsn non-op columns in order (keys included —
     # constant within a window partition, so harmless), then op
     payload = [c for c in changes.columns if c not in (lsn_col, op_col)]
     tb_in = [F.col(c) for c in payload]
     if op_col in changes.columns:
         tb_in.append(F.col(op_col))
-    t1, t2 = tiebreak_cols(tb_in)
+    t1, t2 = tiebreak_cols(tb_in, family=tiebreak_family)
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(lsn_col), F.desc(t1), F.desc(t2)
     )

@@ -101,12 +101,78 @@ def _xlsx_col_index(ref: str) -> int:
     return n - 1
 
 
+# spreadsheetml builtin number formats that render as dates/times —
+# the set openpyxl/pandas treat as datetime (ECMA-376 §18.8.30)
+_XLSX_DATE_BUILTINS = set(range(14, 23)) | set(range(45, 48))
+_XLSX_EPOCH_DAYS = 25569  # 1970-01-01 in Excel's 1900 serial system
+
+
+def _xlsx_fmt_is_date(code: str) -> bool:
+    """A custom numFmt renders a date iff its code contains a date
+    token (y/m/d/h/s) outside quoted literals, [..] sections and
+    escaped characters — the openpyxl heuristic."""
+    out = []
+    i, n = 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch == '"':
+            j = code.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "[":
+            j = code.find("]", i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "\\":
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return any(c in "ymdhs" for c in "".join(out).lower())
+
+
+def _xlsx_date_styles(z, local) -> set[int]:
+    """Style (cellXfs) indices whose number format is a date — parsed
+    from xl/styles.xml so the native reader converts date serials to
+    datetimes exactly like the pandas/openpyxl path (the two backends
+    previously returned different schemas for one workbook)."""
+    import xml.etree.ElementTree as ET
+
+    if "xl/styles.xml" not in z.namelist():
+        return set()
+    styles = ET.fromstring(z.read("xl/styles.xml"))
+    date_fmts = set(_XLSX_DATE_BUILTINS)
+    for el in styles.iter():
+        if local(el.tag) == "numFmt" and _xlsx_fmt_is_date(el.get("formatCode", "")):
+            date_fmts.add(int(el.get("numFmtId")))
+    out: set[int] = set()
+    for parent in styles.iter():
+        if local(parent.tag) != "cellXfs":
+            continue
+        for i, xf in enumerate(e for e in parent if local(e.tag) == "xf"):
+            if int(xf.get("numFmtId", "0")) in date_fmts:
+                out.add(i)
+    return out
+
+
+def _xlsx_serial_to_datetime(serial: float):
+    """Excel 1900-system serial -> datetime (1899-12-30 base, the
+    openpyxl convention that absorbs the 1900 leap-year bug for all
+    post-Feb-1900 dates), rounded to the nearest millisecond to shed
+    float noise."""
+    import datetime
+
+    base = datetime.datetime(1899, 12, 30)
+    ms = round(serial * 86400_000)
+    return base + datetime.timedelta(milliseconds=ms)
+
+
 def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
     """Minimal in-tree xlsx (zip + spreadsheetml XML) reader — stdlib
     only (zipfile + ElementTree). Covers the subset the reference's
     pd.read_excel usage needs (userCode/xlsx/lib.py:33-56): sheet
-    enumeration, shared/inline strings, numbers, booleans; first row =
-    header. Returns {sheet_name: pandas.DataFrame}."""
+    enumeration, shared/inline strings, numbers, booleans, date-styled
+    serials (converted to datetimes via xl/styles.xml, matching the
+    pandas/openpyxl backend); first row = header. Returns
+    {sheet_name: pandas.DataFrame}."""
     import xml.etree.ElementTree as ET
     import zipfile
 
@@ -135,6 +201,7 @@ def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
             sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in sst:
                 shared.append("".join(t.text or "" for t in si.iter() if local(t.tag) == "t"))
+        date_styles = _xlsx_date_styles(z, local)
 
         out = {}
         for name, part in sheet_parts.items():
@@ -169,6 +236,8 @@ def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
                         val = v in ("1", "true")
                     elif t == "e":  # formula error cell (#DIV/0! etc.)
                         val = None
+                    elif int(c.get("s", "-1")) in date_styles:
+                        val = _xlsx_serial_to_datetime(float(v))
                     else:
                         val = float(v)
                     while len(cells) < idx:
