@@ -49,7 +49,10 @@ def lww_dedup(
     if op_col in changes.columns:
         tb_in.append(F.col(op_col))
     t1, t2 = tiebreak_cols(tb_in, family=tiebreak_family)
-    w = Window.partitionBy(*key_cols).orderBy(
+    # xxhash64 radix prefix on the partition keys — identical grouping,
+    # numeric-leading per-partition sort (see LakeTable._resolve)
+    kh = F.xxhash64(*[F.col(c) for c in key_cols])
+    w = Window.partitionBy(kh, *[F.col(c) for c in key_cols]).orderBy(
         F.desc(lsn_col), F.desc(t1), F.desc(t2)
     )
     return (

@@ -36,6 +36,7 @@ class CdcRunner:
         mode: str = "cow",
         compact_every: int = 0,
         commit_retries: int = 3,
+        ann_indexes: list | None = None,
     ):
         """mode='mor' + compact_every=N is the high-rate configuration:
         append delta files per window (apply cost independent of table
@@ -50,7 +51,12 @@ class CdcRunner:
         idempotent by the LSN guard, so re-reading the new snapshot and
         re-merging is always safe — the reference's tolerate-concurrent
         -duplicate-create semantics (userCode/wrd/test_frost.py:28-53)
-        recast for snapshot commits."""
+        recast for snapshot commits.
+
+        ann_indexes: operators.ann_index.AnnIndex instances bound to
+        this table; they are refresh_if_stale()'d on the compaction
+        cycle so index and corpus move together (the versioned-index
+        maintenance hook)."""
         self.table = table
         self.offsets = offsets
         self.manifests = manifests
@@ -60,6 +66,7 @@ class CdcRunner:
         self.mode = mode
         self.compact_every = compact_every
         self.commit_retries = commit_retries
+        self.ann_indexes = list(ann_indexes or [])
         self._windows_since_compact = 0
 
     def run_window(self, lsn_lo: int, lsn_hi: int) -> MergeResult | None:
@@ -137,6 +144,8 @@ class CdcRunner:
                     except CommitConflictError:
                         if attempt == self.commit_retries:
                             raise
+                for ix in self.ann_indexes:
+                    ix.refresh_if_stale(spark)
                 self._windows_since_compact = 0
         return result
 

@@ -73,6 +73,60 @@ def test_merge_plan_single_exchange(spark, tmp_path):
     assert "WindowGroupLimit" in plan
 
 
+def test_real_resolve_plan_single_exchange_no_python(spark, tmp_path):
+    """The ACTUAL merge resolve (not the simplified pipeline above): one
+    Exchange total, the ranking + metrics windows reuse it, the window
+    sort carries the tie-break limbs, and no Python evaluation appears
+    anywhere. Round-3 honesty note: the real plan has NO
+    WindowGroupLimit — the min-over-partition metrics column blocks the
+    rank pushdown (the measured map-side alternative was rejected,
+    DESIGN.md §10) — so this test pins what the plan really is."""
+    from pyspark.sql import types as T
+
+    from oregonwaterdataportal_etl_spark.cdc.changegen import (
+        CHANGE_SCHEMA,
+        TRANSCRIPT_SCHEMA,
+        generate_changes_pdf,
+    )
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    t.merge(spark.createDataFrame(generate_changes_pdf(2000, 100, seed=1)))
+    upd = spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=2, lsn_start=2000)
+    )
+    snap = t.snapshot()
+    evolved = t.evolve_schema(
+        T.StructType([f for f in upd.schema.fields if f.name not in ("op", "lsn")])
+    )
+    base = t._read_internal(spark, _snap=snap)
+    tb1, tb2 = t._update_tiebreak(upd.columns, evolved, "op")
+    upd_tagged = upd.select(
+        *t._tag_select(upd.columns, evolved, {}),
+        F.col("lsn").cast("long").alias("__lsn"),
+        F.lit(1).cast("tinyint").alias("__op"),
+        F.lit(1).alias("__src"),
+        tb1.alias("__tb1"),
+        tb2.alias("__tb2"),
+    )
+    base_tagged = base.select(
+        *t._tag_select(base.columns, evolved, {}),
+        F.col("_lsn").alias("__lsn"),
+        F.lit(0).cast("tinyint").alias("__op"),
+        F.lit(0).alias("__src"),
+        F.lit(None).cast("long").alias("__tb1"),
+        F.lit(None).cast("long").alias("__tb2"),
+    )
+    winners = t._resolve(base_tagged, upd_tagged, ["conv_id", "turn_idx"], 4)
+    plan = plan_of(winners)
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 2  # rank + metrics windows
+    assert "__tb1" in plan  # total-order limbs ride the window sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_topk_is_take_ordered(spark):
     """O1: global top-k must compile to TakeOrderedAndProject — a
     per-partition top-k + k-row reduce, never a full sort."""

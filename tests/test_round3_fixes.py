@@ -215,6 +215,57 @@ def test_ann_index_versioned_against_table(spark, tmp_path):
     assert probe_rows() == after
 
 
+def test_runner_refreshes_ann_index_on_compact_cycle(spark, tmp_path):
+    """The runner's maintenance cycle keeps bound AnnIndexes fresh:
+    after a window that changes rows, the compact cycle rebuilds the
+    index and probes see the new vectors without manual refresh."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators.ann_index import AnnIndex
+
+    DIM = 8
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    t = LakeTable.create(str(tmp_path / "emb"), schema, KEYS, num_buckets=2)
+    rng = np.random.default_rng(3)
+    q = [float(x) for x in rng.standard_normal(DIM)]
+
+    def rows(ids, lsn0, vec=None):
+        return [("insert", lsn0 + i, f"c{i}", int(i), int(i),
+                 vec if vec is not None
+                 else [float(x) for x in rng.standard_normal(DIM)])
+                for i in ids]
+
+    t.merge(spark.createDataFrame(
+        rows(range(50), 0),
+        "op string, lsn long, conv_id string, turn_idx int, "
+        "vec_id long, embedding array<double>"))
+    ix = AnnIndex(str(tmp_path / "ix"), t, kind="lsh", bits=2, seed=7)
+    ix.build(spark)
+
+    stream_dir = str(tmp_path / "s")
+    # one new vector EXACTLY on the query direction -> must become top-1
+    spark.createDataFrame(
+        rows([999], 1000, vec=q),
+        "op string, lsn long, conv_id string, turn_idx int, "
+        "vec_id long, embedding array<double>",
+    ).write.parquet(stream_dir)
+    runner = CdcRunner(
+        t, OffsetLog(str(tmp_path / "off"), "s1"),
+        ManifestLog(str(tmp_path / "man")),
+        source=lambda: spark.read.parquet(stream_dir),
+        compact_every=1, ann_indexes=[ix],
+    )
+    runner.run_window(1000, 1999)
+    assert not ix.stale(), "runner did not refresh the index"
+    top = ix.probe(spark, q, k=1, probes=1).collect()[0]
+    assert top["vec_id"] == 999 and abs(top["cosine"] - 1.0) < 1e-9
+
+
 # ------------------------------------------------- xlsx date styles
 def test_xlsx_native_converts_date_styled_serials(spark, tmp_path):
     """The native reader must honor xl/styles.xml date number formats:
