@@ -55,19 +55,25 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
     REAL in-tree decodes (pure stdlib + numpy), decoded=True:
     - image/png with a valid signature -> 32-bin luminance histogram
       (pngcodec.py);
+    - image/bmp (uncompressed BI_RGB 24/32-bit) -> same histogram
+      (bmpcodec.py);
     - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
       (wavcodec.py, numpy FFT).
     Other image/audio/video mimes (and payloads the minimal codecs
-    can't parse: palette/interlaced/16-bit PNG, non-PCM WAV, truncated
-    blobs): deterministic sha256-derived fake features, decoded=False —
-    the documented STUB; swap for PIL/ffmpeg/librosa on a real
-    cluster. The flag makes the fallback filterable instead of silent."""
+    can't parse: palette/interlaced/16-bit PNG, RLE/paletted BMP,
+    non-PCM WAV, truncated blobs): deterministic sha256-derived fake
+    features, decoded=False — the documented STUB; swap for
+    PIL/ffmpeg/librosa on a real cluster. The flag makes the fallback
+    filterable instead of silent."""
+    from .bmpcodec import BMP_MAGIC, decode_bmp
     from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
     from .wavcodec import WAV_MAGIC, decode_wav, log_spectrum_feature
 
     try:
         if mime == "image/png" and payload.startswith(PNG_MAGIC):
             return luminance_histogram(decode_png(payload), bins=32), True
+        if mime in ("image/bmp", "image/x-ms-bmp") and payload.startswith(BMP_MAGIC):
+            return luminance_histogram(decode_bmp(payload), bins=32), True
         if mime in ("audio/wav", "audio/x-wav", "audio/wave") and payload.startswith(
             WAV_MAGIC
         ):
@@ -120,10 +126,12 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize over Arrow batches. image/png: REAL nearest-neighbor
-    resize via the in-tree codec (decode -> resize -> re-encode). Other
-    mimes still raise (PIL territory); 'application/x-test' passes
-    through for plumbing tests."""
+    """Image resize over Arrow batches. image/png and image/bmp: REAL
+    nearest-neighbor resize via the in-tree codecs (decode -> resize ->
+    re-encode, staying in the source format). Other mimes still raise
+    (PIL territory); 'application/x-test' passes through for plumbing
+    tests."""
+    from .bmpcodec import BMP_MAGIC, decode_bmp, encode_bmp
     from .pngcodec import PNG_MAGIC, decode_png, encode_png, resize_nearest
 
     def run(batches):
@@ -135,6 +143,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif m == "image/png" and p is not None and bytes(p).startswith(PNG_MAGIC):
                     arr = resize_nearest(decode_png(bytes(p)), width, height)
                     out.append(encode_png(arr))
+                elif m in ("image/bmp", "image/x-ms-bmp") and p is not None and bytes(
+                    p
+                ).startswith(BMP_MAGIC):
+                    arr = resize_nearest(decode_bmp(bytes(p)), width, height)
+                    out.append(encode_bmp(arr))
                 else:
                     raise NotImplementedError(
                         "resize for this mime requires PIL; not available here"

@@ -215,6 +215,44 @@ def test_ann_index_versioned_against_table(spark, tmp_path):
     assert probe_rows() == after
 
 
+def test_bmp_codec_roundtrip_and_features(spark):
+    """Real in-tree BMP path: encode->decode roundtrips pixels exactly
+    (24-bit BI_RGB, padded strides), extract_features marks BMP decodes
+    as real (decoded=True) with the same luminance histogram the PNG
+    path computes, resize_images resizes for real, and unsupported BMP
+    variants fall back to the flagged stub."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators import multimodal
+    from oregonwaterdataportal_etl_spark.operators.bmpcodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from oregonwaterdataportal_etl_spark.operators.pngcodec import (
+        luminance_histogram,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # odd width: padding
+    bmp = encode_bmp(arr)
+    assert (decode_bmp(bmp) == arr).all()
+
+    media = spark.createDataFrame(
+        [(1, "image/bmp", bmp, {}),
+         (2, "image/bmp", b"BMtruncated-garbage-not-a-real-bmp-file-here-at-all-ok", {})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["decoded"] is True
+    assert np.allclose(feats[1]["feature"], luminance_histogram(arr, bins=32))
+    assert feats[2]["decoded"] is False  # unparseable -> flagged stub
+
+    resized = multimodal.resize_images(
+        media.filter("media_id = 1"), width=8, height=4
+    ).collect()[0]["payload"]
+    assert decode_bmp(bytes(resized)).shape == (4, 8, 3)
+
+
 def test_runner_refreshes_ann_index_on_compact_cycle(spark, tmp_path):
     """The runner's maintenance cycle keeps bound AnnIndexes fresh:
     after a window that changes rows, the compact cycle rebuilds the
