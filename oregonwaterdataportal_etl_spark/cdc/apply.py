@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..lake.table import LakeTable, MergeResult, tiebreak_cols, tiebreak_py
+from ..lake.table import (
+    LakeTable,
+    MergeResult,
+    _op_code,
+    _op_decode,
+    tiebreak_cols,
+    tiebreak_py,
+)
 
 
 def lww_dedup(
@@ -47,7 +54,9 @@ def lww_dedup(
     payload = [c for c in changes.columns if c not in (lsn_col, op_col)]
     tb_in = [F.col(c) for c in payload]
     if op_col in changes.columns:
-        tb_in.append(F.col(op_col))
+        # normalized op, matching merge's _update_tiebreak and the
+        # oracle fold (unknown ops are upserts -> hash as "insert")
+        tb_in.append(_op_decode(_op_code(F.col(op_col))))
     t1, t2 = tiebreak_cols(tb_in, family=tiebreak_family)
     # xxhash64 radix prefix on the partition keys — identical grouping,
     # numeric-leading per-partition sort (see LakeTable._resolve)
@@ -94,7 +103,11 @@ def oracle_fold(events: list[dict], key_cols=("conv_id", "turn_idx")) -> dict:
 
     def tb(ev):
         vals = [v for k, v in ev.items() if k not in ("lsn", "op")]
-        vals.append(ev["op"])
+        # normalize exactly like the engine (_op_decode(_op_code(op)):
+        # anything that isn't a known op is an upsert -> "insert"), so
+        # md5-family tie winners agree even for exotic op strings
+        op = ev["op"]
+        vals.append(op if op in ("delete", "update", "tombstone", "base") else "insert")
         return tiebreak_py(vals)
 
     state: dict = {}

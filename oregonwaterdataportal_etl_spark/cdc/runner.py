@@ -112,42 +112,46 @@ class CdcRunner:
         # merge(), and the loser's orphaned write dir is age-gated
         # vacuum-safe. Safe to repeat — the LSN guard makes a replayed
         # merge a no-op for rows the winner already applied.
-        for attempt in range(self.commit_retries + 1):
-            try:
-                result = self.table.merge(
-                    batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
-                )
-                break
-            except CommitConflictError:
-                if attempt == self.commit_retries:
-                    raise
+        result = self._with_commit_retry(
+            lambda: self.table.merge(
+                batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
+            )
+        )
         self.manifests.commit(batch_id, result.as_dict())
         self.offsets.commit(lsn_hi, batch_id)
         if self.compact_every:
             self._windows_since_compact += 1
             if self._windows_since_compact >= self.compact_every:
                 spark = batch.sparkSession
-                # same bounded retry: maintenance is idempotent against
-                # the current snapshot (a replayed compact finds nothing
-                # left to fold/bin-pack and commits a metadata no-op)
-                for attempt in range(self.commit_retries + 1):
-                    try:
-                        if self.mode == "mor":
-                            self.table.compact(spark)
-                        # expire tombstones up to the committed offset
-                        # watermark: sub-watermark windows are manifest-
-                        # committed no-ops, so their tombstones can never
-                        # be needed again. The offsets log is passed so
-                        # the bound is clamped inside the method.
-                        self.table.expire_tombstones(spark, offsets=self.offsets)
-                        break
-                    except CommitConflictError:
-                        if attempt == self.commit_retries:
-                            raise
+
+                def maintain():
+                    # idempotent against the current snapshot: a
+                    # replayed compact finds nothing left to fold /
+                    # bin-pack and commits a metadata no-op; tombstones
+                    # expire up to the committed offset watermark (the
+                    # offsets log clamps the bound inside the method)
+                    if self.mode == "mor":
+                        self.table.compact(spark)
+                    self.table.expire_tombstones(spark, offsets=self.offsets)
+
+                self._with_commit_retry(maintain)
                 for ix in self.ann_indexes:
-                    ix.refresh_if_stale(spark)
+                    # a concurrent builder can make the index commit
+                    # race too — same bounded retry
+                    self._with_commit_retry(lambda ix=ix: ix.refresh_if_stale(spark))
                 self._windows_since_compact = 0
         return result
+
+    def _with_commit_retry(self, fn):
+        """Run fn, retrying through CommitConflictError up to
+        commit_retries times (each retry re-reads CURRENT state inside
+        fn — every caller is idempotent by construction)."""
+        for attempt in range(self.commit_retries + 1):
+            try:
+                return fn()
+            except CommitConflictError:
+                if attempt == self.commit_retries:
+                    raise
 
     def run_available(self, window_size: int = 1_000_000) -> list[MergeResult]:
         """Trigger.AvailableNow analog: loop windows from the resume

@@ -48,9 +48,19 @@ class LsnRangedParquetSource:
     def _files(self) -> list[str]:
         if os.path.isfile(self.path):
             return [self.path]
-        return sorted(
-            glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True)
-        )
+        out = []
+        for f in glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(f, self.path)
+            # match spark.read.parquet's path filter: skip _temporary/
+            # _committed/.staging debris from in-flight or crashed
+            # writers — otherwise the pruned read could double-read a
+            # later-promoted file, crash on a half-written footer, or
+            # advance max_lsn() past an uncommitted LSN, breaking
+            # equality with the plain-source fallback
+            if any(part.startswith(("_", ".")) for part in rel.split(os.sep)):
+                continue
+            out.append(f)
+        return sorted(out)
 
     def _file_range(self, f: str) -> tuple[int | None, int | None]:
         """Footer min/max of the lsn column, cached by (mtime, size) so

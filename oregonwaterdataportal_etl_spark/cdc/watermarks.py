@@ -40,7 +40,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lake.table import CommitConflictError, _fsync_dir
+from ..lake.table import CommitConflictError, versioned_commit
 
 
 class WatermarkStore:
@@ -77,27 +77,15 @@ class WatermarkStore:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
-        """O_EXCL create of v-N.json then atomic CURRENT swap — the
-        LakeTable commit discipline; the loser of a concurrent race
-        gets CommitConflictError and retries with a re-read parent."""
-        mpath = os.path.join(self.path, f"v-{manifest['version']:08d}.json")
-        try:
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflictError(
-                f"watermark version {manifest['version']} committed concurrently"
-            ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = self._ptr + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(manifest["version"]))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._ptr)
-        _fsync_dir(self.path)
+        """The shared ``versioned_commit`` discipline over v-N.json; the
+        loser of a concurrent race gets CommitConflictError and retries
+        with a re-read parent."""
+        versioned_commit(
+            self.path,
+            f"v-{manifest['version']:08d}.json",
+            manifest["version"],
+            manifest,
+        )
 
     def exists(self) -> bool:
         return self._current_version() is not None
@@ -166,10 +154,17 @@ class WatermarkStore:
     # --------------------------------------------------------- cleanup
     def _cleanup(self) -> None:
         """Remove version dirs/manifests superseded by the newest
-        ``keep_last_versions`` manifests, but only past the age grace
-        window — a reader mid-scan on an old version keeps its files
-        (the advisor's in-flight-reader finding on round 2's immediate
-        rmtree)."""
+        ``keep_last_versions`` manifests, but only once they have been
+        unreferenced for the grace window — a reader mid-scan on an old
+        version keeps its files.
+
+        The grace clock runs from SUPERSESSION, not from the dir's
+        write time (review finding: a long-lived delta's mtime can be
+        hours old the moment it leaves the live set, which would make
+        an mtime-based grace expire instantly under an active reader).
+        First sweep that sees a dir unreferenced drops a ``gc-<dir>``
+        marker; the dir is removed only when its marker is older than
+        the grace window."""
         v = self._current_version()
         if v is None:
             return
@@ -185,11 +180,27 @@ class WatermarkStore:
         now = time.time()
         for entry in os.listdir(self.path):
             p = os.path.join(self.path, entry)
-            if entry.startswith(("b-", "d-")) and entry not in live:
+            if entry.startswith(("b-", "d-")) and os.path.isdir(p):
+                marker = os.path.join(self.path, f"gc-{entry}")
+                if entry in live:
+                    # re-referenced (e.g. rollback-style history walk):
+                    # clear any stale marker
+                    if os.path.exists(marker):
+                        try:
+                            os.remove(marker)
+                        except OSError:
+                            pass
+                    continue
                 try:
-                    if now - os.path.getmtime(p) >= self.cleanup_grace_seconds:
+                    if not os.path.exists(marker):
+                        with open(marker, "w") as f:
+                            f.write(str(now))
+                    with open(marker) as f:
+                        unref_at = float(f.read().strip() or 0)
+                    if now - unref_at >= self.cleanup_grace_seconds:
                         shutil.rmtree(p, ignore_errors=True)
-                except OSError:
+                        os.remove(marker)
+                except (OSError, ValueError):
                     pass
             elif entry.startswith("v-") and entry.endswith(".json"):
                 try:
@@ -199,4 +210,13 @@ class WatermarkStore:
                     ):
                         os.remove(p)
                 except (ValueError, OSError):
+                    pass
+        # orphaned markers (their dir is gone)
+        for entry in os.listdir(self.path):
+            if entry.startswith("gc-") and not os.path.isdir(
+                os.path.join(self.path, entry[3:])
+            ):
+                try:
+                    os.remove(os.path.join(self.path, entry))
+                except OSError:
                     pass

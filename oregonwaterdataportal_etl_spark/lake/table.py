@@ -70,6 +70,46 @@ def _fsync_dir(path: str) -> None:
         pass
 
 
+def versioned_commit(
+    meta_dir: str,
+    manifest_name: str,
+    version: int,
+    manifest: dict,
+    pointer_name: str = "CURRENT",
+) -> None:
+    """THE commit discipline, shared by LakeTable, WatermarkStore and
+    AnnIndex (one implementation so a durability fix lands everywhere):
+
+    1. create the manifest file with O_EXCL — two committers that both
+       read the same parent race to create the same name; the loser
+       gets CommitConflictError instead of silently clobbering the
+       winner (Iceberg's metadata-swap semantics);
+    2. fsync the manifest file;
+    3. atomically swing the pointer (write tmp, fsync, os.replace);
+    4. fsync the metadata directory (rename/create durability).
+    """
+    mpath = os.path.join(meta_dir, manifest_name)
+    try:
+        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflictError(
+            f"version {version} ({manifest_name}) was committed "
+            "concurrently; re-read and retry"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    ptr = os.path.join(meta_dir, pointer_name)
+    tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+    _fsync_dir(meta_dir)
+
+
 LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
 _BUCKET_COL = "_b"
 _ACTION_COL = "_action"  # per-row merge outcome, written for metrics
@@ -311,36 +351,12 @@ class LakeTable:
         return out
 
     def _commit(self, snap: dict) -> None:
-        """Atomic snapshot commit with optimistic concurrency:
-
-        1. create snap-N.json with O_EXCL — two committers that both
-           read parent N-1 race to create the same file; the loser gets
-           FileExistsError (CommitConflictError) instead of silently
-           clobbering the winner (Iceberg's metadata-swap semantics);
-        2. fsync the file AND the metadata directory (rename/create
-           durability across power loss);
-        3. atomically swing the CURRENT pointer (os.replace).
-        """
+        """Atomic snapshot commit with optimistic concurrency — the
+        shared ``versioned_commit`` discipline over snap-N.json."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        snap_path = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
-        try:
-            fd = os.open(snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflictError(
-                f"version {snap['version']} was committed concurrently; "
-                "re-read the table and retry"
-            ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = self._current_ptr + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(snap["version"]))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._current_ptr)
-        _fsync_dir(self.meta_dir)
+        versioned_commit(
+            self.meta_dir, f"snap-{snap['version']:08d}.json", snap["version"], snap
+        )
 
     # --------------------------------------------------------- schema
     def schema(self) -> T.StructType:
@@ -349,7 +365,20 @@ class LakeTable:
 
     def _stored_schema(self) -> T.StructType:
         s = self.schema()
-        return T.StructType(list(s.fields) + [T.StructField(LSN_COL, T.LongType(), True)])
+        return T.StructType(
+            list(s.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                # tie-break limbs persist in BASE files too (not just MOR
+                # deltas): a cross-batch same-(key,lsn) tie must resolve
+                # identically whether the earlier event already reached
+                # the base (COW) or still sits in a delta (MOR) — limbs
+                # order the tie BEFORE the base/batch source bit, and
+                # identical payloads still fall through to base-wins
+                T.StructField(_TB1_COL, T.LongType(), True),
+                T.StructField(_TB2_COL, T.LongType(), True),
+            ]
+        )
 
     # ----------------------------------------------------------- read
     def _resolved_view(
@@ -382,11 +411,9 @@ class LakeTable:
             base = base.filter(key_pred)
         deltas = self._read_deltas(spark, snap, buckets=buckets)
         if deltas is None:
-            return base.drop(LSN_COL)
+            return base.drop(LSN_COL, _TB1_COL, _TB2_COL)
 
-        _no_tb = (F.lit(None).cast("long"), F.lit(None).cast("long"))
-
-        def tag(df, op_expr, src, filtered=False, tb=_no_tb):
+        def tag(df, op_expr, src, filtered=False):
             if key_pred is not None and not filtered:
                 df = df.filter(key_pred)
             return df.select(
@@ -394,8 +421,12 @@ class LakeTable:
                 F.col(LSN_COL).alias("__lsn"),
                 op_expr.alias("__op"),
                 F.lit(src).alias("__src"),
-                tb[0].alias("__tb1"),
-                tb[1].alias("__tb2"),
+                # every side carries PERSISTED limbs (base, tombstones
+                # and deltas all store them at write time) — no payload
+                # hash at read time, so column pruning through the
+                # resolve survives
+                F.col(_TB1_COL).alias("__tb1"),
+                F.col(_TB2_COL).alias("__tb2"),
             )
 
         base_tagged = tag(base, F.lit(_OP_BASE).cast("tinyint"), 0, filtered=True)
@@ -406,13 +437,7 @@ class LakeTable:
             base_tagged = base_tagged.unionByName(
                 tag(tomb, F.lit(_OP_DELETE).cast("tinyint"), 0)
             )
-        # same-(key,lsn) delta events from DIFFERENT batches order by
-        # their persisted write-time tie-break limbs — no payload hash
-        # at read time, so column pruning through the resolve survives
-        upd_tagged = tag(
-            deltas, _op_code(F.col(_OP_COL)), 1,
-            tb=(F.col(_TB1_COL), F.col(_TB2_COL)),
-        )
+        upd_tagged = tag(deltas, _op_code(F.col(_OP_COL)), 1)
         winners = self._resolve(
             base_tagged, upd_tagged, snap["key_cols"],
             n_buckets if n_buckets is not None else snap["num_buckets"],
@@ -519,7 +544,12 @@ class LakeTable:
             return None
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         stored = T.StructType(
-            list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
+            list(schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(_TB1_COL, T.LongType(), True),
+                T.StructField(_TB2_COL, T.LongType(), True),
+            ]
         )
         return spark.read.schema(stored).parquet(*tfiles)
 
@@ -568,11 +598,21 @@ class LakeTable:
         # measured 3-7% off the 32M apply at 2-8 cores
         kh = F.xxhash64(*[F.col(c) for c in key_cols])
         pb = [kh, *[F.col(c) for c in key_cols]]
+        # limbs order BEFORE the source bit: a cross-batch same-(key,
+        # lsn) tie must resolve to the same winner whether the earlier
+        # event already reached the base (COW, limbs persisted there)
+        # or still sits in a delta (MOR) — mode/batching/compaction
+        # independence. IDENTICAL payloads have identical limbs, so the
+        # src bit still makes redelivered events base-wins no-ops.
+        # (Null limbs — pre-upgrade or overwrite()-loaded base rows —
+        # sort last: a batch event beats them on an exact-LSN tie,
+        # rewriting identical content; state is unchanged, only the
+        # noop-vs-update metric differs for legacy rows.)
         order = [
             F.desc("__lsn"),
-            F.asc("__src"),
             F.col("__tb1").desc_nulls_last(),
             F.col("__tb2").desc_nulls_last(),
+            F.asc("__src"),
         ]
         w = Window.partitionBy(*pb).orderBy(*order)
         ranked = unioned.select(
@@ -599,11 +639,13 @@ class LakeTable:
         DESIGN.md for the recorded verdict."""
         unioned = base_tagged.unionByName(upd_tagged)
         data_cols = [c for c in unioned.columns if c not in key_cols]
+        # same total order as _resolve: lsn, limbs (struct comparison
+        # treats null as smallest == desc_nulls_last), then base-first
         rank = F.struct(
             F.col("__lsn").alias("l"),
-            (-F.col("__src")).alias("ns"),
             F.col("__tb1").alias("t1"),
             F.col("__tb2").alias("t2"),
+            (-F.col("__src")).alias("ns"),
         )
         agg = unioned.groupBy(*[F.col(c) for c in key_cols]).agg(
             F.max_by(F.struct(*[F.col(c) for c in data_cols]), rank).alias("__w"),
@@ -626,7 +668,13 @@ class LakeTable:
         snap = _snap if _snap is not None else self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         stored = T.StructType(
-            list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
+            list(schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                # limbs null-fill for pre-upgrade/overwrite files
+                T.StructField(_TB1_COL, T.LongType(), True),
+                T.StructField(_TB2_COL, T.LongType(), True),
+            ]
         )
         files: list[str] = []
         for b, flist in snap["files"].items():
@@ -941,8 +989,6 @@ class LakeTable:
             touched = list(range(n_buckets))
 
         dicts = snap.get("dict_cols") or {}
-        _null_tb = (F.lit(None).cast("long"), F.lit(None).cast("long"))
-
         tb_family = snap.get("tiebreak_family", "xxhash64")
 
         def tag_updates(df):
@@ -1033,8 +1079,9 @@ class LakeTable:
             F.col(LSN_COL).alias("__lsn"),
             F.lit(_OP_BASE).cast("tinyint").alias("__op"),
             F.lit(0).alias("__src"),
-            _null_tb[0].alias("__tb1"),
-            _null_tb[1].alias("__tb2"),
+            # base rows carry their winning event's persisted limbs
+            F.col(_TB1_COL).alias("__tb1"),
+            F.col(_TB2_COL).alias("__tb2"),
         )
         # tombstones of touched buckets re-enter as base-side deletes:
         # a stale lower-LSN event for a deleted key loses to the
@@ -1050,8 +1097,8 @@ class LakeTable:
                     F.col(LSN_COL).alias("__lsn"),
                     F.lit(_OP_TOMBSTONE).cast("tinyint").alias("__op"),
                     F.lit(0).alias("__src"),
-                    _null_tb[0].alias("__tb1"),
-                    _null_tb[1].alias("__tb2"),
+                    F.col(_TB1_COL).alias("__tb1"),
+                    F.col(_TB2_COL).alias("__tb2"),
                 )
             )
 
@@ -1094,6 +1141,10 @@ class LakeTable:
         out = winners.select(
             *self._payload_out(evolved, dicts),
             F.col("__lsn").alias(LSN_COL),
+            # the winner's limbs persist into base/tombstone files so the
+            # NEXT merge can order an exact-LSN rematch deterministically
+            F.col("__tb1").alias(_TB1_COL),
+            F.col("__tb2").alias(_TB2_COL),
             action.alias(_ACTION_COL),
             bexpr.alias(_BUCKET_COL),
             F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE).alias(_DEL_COL),
@@ -1591,7 +1642,12 @@ class LakeTable:
             return 0
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         stored = T.StructType(
-            list(schema.fields) + [T.StructField(LSN_COL, T.LongType(), True)]
+            list(schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(_TB1_COL, T.LongType(), True),
+                T.StructField(_TB2_COL, T.LongType(), True),
+            ]
         )
         all_files = [f for fl in tombs.values() for f in fl]
         df = spark.read.schema(stored).parquet(*all_files)

@@ -32,7 +32,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..lake.table import CommitConflictError, LakeTable, _fsync_dir
+from ..lake.table import LakeTable, versioned_commit
 from . import similarity
 
 # snapshot operations that change the LOGICAL row set (vs file churn)
@@ -82,24 +82,13 @@ class AnnIndex:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
-        mpath = os.path.join(self.path, f"ix-{manifest['version']:08d}.json")
-        try:
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflictError(
-                f"index version {manifest['version']} committed concurrently"
-            ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = self._ptr + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(manifest["version"]))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._ptr)
-        _fsync_dir(self.path)
+        """The shared ``versioned_commit`` discipline over ix-N.json."""
+        versioned_commit(
+            self.path,
+            f"ix-{manifest['version']:08d}.json",
+            manifest["version"],
+            manifest,
+        )
 
     # ----------------------------------------------------------- build
     def build(self, spark: SparkSession) -> int:
@@ -141,8 +130,12 @@ class AnnIndex:
     # ------------------------------------------------------- staleness
     def stale(self) -> bool:
         """True iff the table's LOGICAL rows changed since the indexed
-        snapshot. File-churn commits (compact, expire-tombstones,
-        vacuum) do not invalidate: they rewrite storage, not rows."""
+        snapshot — or the index was never built (a fresh AnnIndex handed
+        to a CdcRunner must build on its first maintenance cycle, not
+        crash). File-churn commits (compact, expire-tombstones, vacuum)
+        do not invalidate: they rewrite storage, not rows."""
+        if self.current_version() is None:
+            return True
         man = self.manifest()
         cur = self.table.current_version()
         for v in range(man["table_version"] + 1, cur + 1):

@@ -109,7 +109,10 @@ def harvest_observations(
         # evaluated the full MOR resolve twice per batch here (take(1)
         # probe + aggregation).
         st = table.stats()
-        if st["rows_base"] > 0 or st["delta_files"] > 0:
+        # gate on FILE counts, not rows_base: snapshots predating the
+        # row_counts lineage read rows_base == 0 for non-empty tables,
+        # which would silently disable the watermark pre-filter
+        if st["base_files"] > 0 or st["delta_files"] > 0:
             existing = table.read(spark)
             wm = time_range_per_key(
                 existing, ["conv_id"], "ts"

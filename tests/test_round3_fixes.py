@@ -441,6 +441,67 @@ def test_lsn_ranged_source_prunes_files(spark, tmp_path):
     assert src.max_lsn() == 3999
 
 
+def test_lsn_ranged_source_ignores_writer_debris(spark, tmp_path):
+    """Review finding: the pruned source must match spark.read's path
+    filter — _temporary/.staging debris from in-flight or crashed
+    writers is invisible to the plain source and must stay invisible to
+    the pruned one (else max_lsn() could advance past uncommitted data
+    or a window could crash on a half-written footer)."""
+    import os as _os
+
+    from oregonwaterdataportal_etl_spark.cdc import LsnRangedParquetSource
+
+    path = str(tmp_path / "log")
+    _write_lsn_ordered_stream(spark, path, n=1000, files=2)
+    src = LsnRangedParquetSource(spark, path)
+    assert src.max_lsn() == 999
+    # a crashed writer's debris: valid parquet content, absurd lsn range
+    debris_dir = _os.path.join(path, "_temporary", "0")
+    spark.createDataFrame(
+        [("insert", 10_000_000, "zz", 0, "user", "ghost", None, None)],
+        schema=CHANGE_SCHEMA,
+    ).coalesce(1).write.parquet(_os.path.join(debris_dir, "t"))
+    keep, total = src.files_for(0, 20_000_000)
+    assert all("_temporary" not in f for f in keep)
+    assert src.max_lsn() == 999, "debris advanced the high-water mark"
+    assert src(0, 999).count() == 1000
+
+
+def test_runner_builds_never_built_index(spark, tmp_path):
+    """A fresh AnnIndex handed to a CdcRunner must be BUILT on the
+    first maintenance cycle, not crash with FileNotFoundError."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators.ann_index import AnnIndex
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    t = LakeTable.create(str(tmp_path / "emb"), schema, KEYS, num_buckets=2)
+    rng = np.random.default_rng(4)
+    stream_dir = str(tmp_path / "s")
+    spark.createDataFrame(
+        [("insert", i, f"c{i}", int(i), int(i),
+          [float(x) for x in rng.standard_normal(4)]) for i in range(20)],
+        "op string, lsn long, conv_id string, turn_idx int, "
+        "vec_id long, embedding array<double>",
+    ).write.parquet(stream_dir)
+    ix = AnnIndex(str(tmp_path / "ix"), t, kind="lsh", bits=2, seed=7)
+    assert ix.stale()  # never built counts as stale
+    runner = CdcRunner(
+        t, OffsetLog(str(tmp_path / "off"), "s1"),
+        ManifestLog(str(tmp_path / "man")),
+        source=lambda: spark.read.parquet(stream_dir),
+        compact_every=1, ann_indexes=[ix],
+    )
+    runner.run_window(0, 99)
+    assert ix.current_version() == 0 and not ix.stale()
+    assert ix.probe(spark, [1.0, 0.0, 0.0, 0.0], k=3, probes=4).count() == 3
+
+
 def test_runner_with_ranged_source_matches_plain(spark, tmp_path):
     """Same final table through the pruned source as through the plain
     filter-everything source (pruning is an optimization, never a
@@ -735,6 +796,35 @@ def test_watermark_concurrent_update_retries(spark, tmp_path):
     assert _wm_rows(spark, store) == {"a": 1.0, "b": 7.0, "c": 9.0}
     # and the store's history shows the retry (version advanced twice)
     assert store._current_version() == 2
+
+
+def test_equal_lsn_tiebreak_across_cow_batches(spark, tmp_path):
+    """Review finding (round 3): a cross-batch same-(key,lsn) tie must
+    resolve identically whether the earlier event already reached the
+    BASE (COW, limbs persisted in base files) or sits in a delta (MOR)
+    — mode-, batching- and compaction-independent, matching the oracle.
+    Pre-fix, COW let the base row win ties via the src bit, so merge
+    order decided the winner."""
+    rows = _tie_events()
+    expected = _oracle_winner(rows)
+    for i, ordering in enumerate((rows, list(reversed(rows)))):
+        t = LakeTable.create(
+            str(tmp_path / f"cb{i}"), TRANSCRIPT_SCHEMA, KEYS,
+            num_buckets=4, tiebreak_family="md5",
+        )
+        for r in ordering:  # SEPARATE COW merges: loser may land in base
+            t.merge(spark.createDataFrame([r], schema=CHANGE_SCHEMA))
+        out = t.read(spark).collect()
+        assert len(out) == 1
+        assert out[0]["text"] == expected, (
+            f"COW cross-batch tie winner depends on merge order ({i})"
+        )
+        # and one more rematch after the state settled: re-merging the
+        # LOSER again stays a no-op (its limbs lose to the persisted
+        # winner limbs)
+        loser = rows[0] if expected != rows[0][5] else rows[1]
+        t.merge(spark.createDataFrame([loser], schema=CHANGE_SCHEMA))
+        assert [r["text"] for r in t.read(spark).collect()] == [expected]
 
 
 def test_equal_lsn_replayed_identical_event_is_noop(spark, tmp_path):
