@@ -19,6 +19,7 @@ from pyspark.sql import SparkSession
 
 from oregonwaterdataportal_etl_spark.cdc import (
     CdcRunner,
+    LsnRangedParquetSource,
     ManifestLog,
     OffsetLog,
 )
@@ -39,7 +40,9 @@ def main() -> None:
         table,
         OffsetLog(offsets_dir),
         ManifestLog(manifests_dir),
-        source=lambda: spark.read.parquet(stream_dir),
+        # footer-stat file pruning: each window plans only its own
+        # files, and the resume loop's high-water mark is metadata-only
+        source=LsnRangedParquetSource(spark, stream_dir),
     )
     results = runner.run_available(window_size=window)
     print(

@@ -1,0 +1,65 @@
+"""spark-submit entry point: lake-table maintenance in one pass.
+
+Usage:
+
+    spark-submit --master <cluster> --py-files dist/owdp_etl_spark.zip \
+        jobs/maintain.py <table_dir> [offsets_dir] [keep_snapshots]
+
+Runs the full maintenance cycle a long-lived CDC table needs (the same
+operations CdcRunner(compact_every=N) performs inline, packaged for a
+separate scheduled job — the reason LakeTable commits are optimistic
+and the runner retries through CommitConflictError):
+
+  1. compact()           — fold MOR deltas into the base, bin-pack
+                           small files per bucket;
+  2. expire_tombstones() — drop delete-tombstones at or below the
+                           committed offset watermark (only when the
+                           offsets_dir of the feeding runner is given —
+                           the horizon is clamped inside the method);
+  3. vacuum()            — expire old snapshots, GC unreferenced data
+                           files (age-graced) and writer debris.
+
+Prints one JSON line of before/after metrics to stdout.
+"""
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from oregonwaterdataportal_etl_spark.cdc import OffsetLog
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+
+def main() -> None:
+    table_dir = sys.argv[1]
+    offsets_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    keep_last = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = SparkSession.builder.appName("owdp-maintain").getOrCreate()
+    table = LakeTable(table_dir)
+    before = table.stats()
+    version = table.compact(spark)
+    expired = 0
+    if offsets_dir:
+        expired = table.expire_tombstones(spark, offsets=OffsetLog(offsets_dir))
+    removed = table.vacuum(keep_last=keep_last)
+    after = table.stats()
+    print(
+        json.dumps(
+            {
+                "version": version,
+                "base_files_before": before["base_files"],
+                "base_files_after": after["base_files"],
+                "delta_files_before": before["delta_files"],
+                "delta_files_after": after["delta_files"],
+                "tombstones_expired": expired,
+                "files_vacuumed": removed,
+                "rows_base": after["rows_base"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

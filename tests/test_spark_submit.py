@@ -56,3 +56,31 @@ def test_spark_submit_py_files_applies_stream(spark, tmp_path):
     assert m["windows_applied"] == 2
     assert m["final_offset"] == 3999
     assert m["rows_final"] > 0
+
+    # the maintenance job runs against the same table through the same
+    # packaging surface (compact + vacuum; no offsets -> no expiry)
+    out_log2 = tmp_path / "out2.log"
+    with open(out_log2, "w") as out:
+        subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "maintain.py"),
+                str(tmp_path / "table"),
+                str(tmp_path / "offsets"),
+            ],
+            cwd=str(tmp_path),
+            env=env,
+            stdout=out,
+            stderr=subprocess.DEVNULL,
+            check=True,
+            timeout=300,
+        )
+    lines2 = [l for l in out_log2.read_text().splitlines() if l.startswith("{")]
+    assert lines2, "maintain job printed no metrics"
+    mm = json.loads(lines2[-1])
+    assert mm["rows_base"] == m["rows_final"]
+    assert mm["base_files_after"] <= max(mm["base_files_before"], 1)
