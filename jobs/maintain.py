@@ -29,6 +29,19 @@ from pyspark.sql import SparkSession
 
 from oregonwaterdataportal_etl_spark.cdc import OffsetLog
 from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.lake.table import CommitConflictError
+
+
+def _retry(fn, attempts: int = 5):
+    """Maintenance shares the table with a live CdcRunner: losing a
+    snapshot-version race is expected, and every step is idempotent
+    against the re-read CURRENT state — retry, bounded."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except CommitConflictError:
+            if i == attempts - 1:
+                raise
 
 
 def main() -> None:
@@ -38,10 +51,12 @@ def main() -> None:
     spark = SparkSession.builder.appName("owdp-maintain").getOrCreate()
     table = LakeTable(table_dir)
     before = table.stats()
-    version = table.compact(spark)
+    version = _retry(lambda: table.compact(spark))
     expired = 0
     if offsets_dir:
-        expired = table.expire_tombstones(spark, offsets=OffsetLog(offsets_dir))
+        expired = _retry(
+            lambda: table.expire_tombstones(spark, offsets=OffsetLog(offsets_dir))
+        )
     removed = table.vacuum(keep_last=keep_last)
     after = table.stats()
     print(
