@@ -29,19 +29,7 @@ from pyspark.sql import SparkSession
 
 from oregonwaterdataportal_etl_spark.cdc import OffsetLog
 from oregonwaterdataportal_etl_spark.lake import LakeTable
-from oregonwaterdataportal_etl_spark.lake.table import CommitConflictError
-
-
-def _retry(fn, attempts: int = 5):
-    """Maintenance shares the table with a live CdcRunner: losing a
-    snapshot-version race is expected, and every step is idempotent
-    against the re-read CURRENT state — retry, bounded."""
-    for i in range(attempts):
-        try:
-            return fn()
-        except CommitConflictError:
-            if i == attempts - 1:
-                raise
+from oregonwaterdataportal_etl_spark.lake.table import retry_on_conflict as _retry
 
 
 def main() -> None:

@@ -143,15 +143,11 @@ class CdcRunner:
         return result
 
     def _with_commit_retry(self, fn):
-        """Run fn, retrying through CommitConflictError up to
-        commit_retries times (each retry re-reads CURRENT state inside
-        fn — every caller is idempotent by construction)."""
-        for attempt in range(self.commit_retries + 1):
-            try:
-                return fn()
-            except CommitConflictError:
-                if attempt == self.commit_retries:
-                    raise
+        """The shared lake.table.retry_on_conflict policy, bounded by
+        this runner's commit_retries."""
+        from ..lake.table import retry_on_conflict
+
+        return retry_on_conflict(fn, attempts=self.commit_retries + 1)
 
     def run_available(self, window_size: int = 1_000_000) -> list[MergeResult]:
         """Trigger.AvailableNow analog: loop windows from the resume

@@ -70,7 +70,23 @@ class WatermarkStore:
         if not os.path.exists(self._ptr):
             return None
         with open(self._ptr) as f:
-            return int(f.read().strip())
+            raw = f.read().strip()
+        try:
+            return int(raw)
+        except ValueError:
+            # round-2 stores pointed CURRENT at the data DIRECTORY
+            # itself (single full-rewrite layout, no manifests).
+            # Migrate transparently: adopt that dir as version 0's base
+            # (review finding: int-parsing the legacy pointer crashed
+            # every pre-upgrade store with no migration path).
+            if raw.startswith("v-") and os.path.isdir(os.path.join(self.path, raw)):
+                try:
+                    self._commit({"version": 0, "base": raw, "deltas": []})
+                except CommitConflictError:
+                    pass  # a concurrent migrator won; fall through
+                with open(self._ptr) as f:
+                    return int(f.read().strip())
+            raise
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self.path, f"v-{version:08d}.json")) as f:

@@ -87,11 +87,50 @@ def versioned_commit(
     2. fsync the manifest file;
     3. atomically swing the pointer (write tmp, fsync, os.replace);
     4. fsync the metadata directory (rename/create durability).
+
+    CRASH RECOVERY (review finding): a committer that dies between
+    steps 2 and 3 leaves a fully-durable ORPHAN manifest with the
+    pointer still on the parent. Without repair, every later committer
+    computes the same next version, hits the orphan's file, and
+    conflicts forever — retry loops would livelock. The manifest is
+    written only after its data files are complete, so the orphan IS a
+    valid commit missing only its pointer swing: on conflict, if the
+    pointer still names an older version, this function rolls the
+    pointer FORWARD to the orphan (idempotent — a merely-slow rival
+    swinging concurrently writes the same value) and then raises
+    CommitConflictError so the caller re-reads the now-advanced state
+    and retries on top of it.
     """
+
+    def _swing(to_version: int) -> None:
+        ptr = os.path.join(meta_dir, pointer_name)
+        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(to_version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
+        _fsync_dir(meta_dir)
+
     mpath = os.path.join(meta_dir, manifest_name)
     try:
         fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as e:
+        ptr = os.path.join(meta_dir, pointer_name)
+        try:
+            with open(ptr) as f:
+                current = int(f.read().strip())
+        except (OSError, ValueError):
+            current = None
+        if current is None or current < version:
+            # crashed committer's orphan: complete its swing so the
+            # system rolls forward instead of wedging
+            _swing(version)
+            raise CommitConflictError(
+                f"version {version} ({manifest_name}) was committed by a "
+                "crashed writer; its pointer swing has been completed — "
+                "re-read and retry"
+            ) from e
         raise CommitConflictError(
             f"version {version} ({manifest_name}) was committed "
             "concurrently; re-read and retry"
@@ -100,14 +139,7 @@ def versioned_commit(
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
-    ptr = os.path.join(meta_dir, pointer_name)
-    tmp = ptr + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, ptr)
-    _fsync_dir(meta_dir)
+    _swing(version)
 
 
 LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
@@ -252,6 +284,21 @@ def tiebreak_py(values) -> tuple[int, int]:
     s = _TIEBREAK_SEP.join(canon(v) for v in values)
     h = hashlib.md5(s.encode("utf-8")).hexdigest()
     return int(h[0:15], 16), int(h[16:31], 16)
+
+
+def retry_on_conflict(fn, attempts: int = 4):
+    """Run fn, retrying through CommitConflictError up to ``attempts``
+    total tries — THE retry policy for writers sharing a versioned
+    store (runner windows, maintenance jobs, index rebuilds). Every
+    caller must be idempotent against the re-read CURRENT state, which
+    all the engine's commit paths are by construction (LSN guard /
+    max-merge / rebuild-from-snapshot)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except CommitConflictError:
+            if i == attempts - 1:
+                raise
 
 
 def _and_all(exprs) -> "F.Column":
@@ -918,6 +965,7 @@ class LakeTable:
         passthrough_max_rows: int = 5_000_000,
         resolve_strategy: str = "window",
         _touched_override: list[int] | None = None,
+        _operation_label: str = "merge",
     ) -> MergeResult:
         """Apply a change batch with LWW-by-LSN semantics.
 
@@ -978,6 +1026,22 @@ class LakeTable:
         n_buckets = snap["num_buckets"]
         bexpr = self._bucket_expr(snap)
         upd = updates
+        # KEY columns must hash with the STORED key types before any
+        # bucket arithmetic: Spark's Murmur3 hashes int and long to
+        # different values, so a batch that sends a (safely) narrower
+        # key type would otherwise compute a wrong touched-bucket set
+        # and abort on the stray guard (review finding). _tag_select
+        # casts payload columns later; keys must be cast HERE because
+        # the touched scan below runs on the raw batch.
+        stored_keys = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(snap["schema"])).fields
+            if f.name in key_cols
+        }
+        upd_types = {f.name: f.dataType for f in upd.schema.fields}
+        for c in key_cols:
+            if c in upd_types and upd_types[c] != stored_keys[c]:
+                upd = upd.withColumn(c, F.col(c).cast(stored_keys[c]))
         batch_rows: int | None = None
         if _touched_override is not None:
             touched = sorted(_touched_override)
@@ -1273,7 +1337,7 @@ class LakeTable:
                 "deltas": deltas,
                 "tombstones": tombstones,
                 "row_counts": row_counts,
-                "summary": {"operation": "merge", **result.as_dict()},
+                "summary": {"operation": _operation_label, **result.as_dict()},
             }
         )
         return result
@@ -1464,7 +1528,15 @@ class LakeTable:
                     ]
                 ),
             )
-            self.merge(empty, mode="cow", _touched_override=fold_buckets)
+            # the fold rewrites storage but not the RESOLVED row set, so
+            # it is labeled as file churn: logical-staleness consumers
+            # (AnnIndex.stale) must not treat a delta-folding compact as
+            # a data change (review finding — it previously read as
+            # operation="merge" and forced spurious index rebuilds)
+            self.merge(
+                empty, mode="cow", _touched_override=fold_buckets,
+                _operation_label="compact-fold",
+            )
             snap = self.snapshot()
         to_rewrite = {
             b: fl for b, fl in snap["files"].items()
@@ -1543,8 +1615,17 @@ class LakeTable:
         import time
 
         history = self.history()
-        keep = history[-keep_last:]
-        expired = history[:-keep_last]  # may be empty: orphan GC still runs
+        # anchor the kept window at CURRENT, not at the newest manifest
+        # file: a crashed committer's orphan snapshot (manifest written,
+        # pointer never swung) may sit BEYOND the pointer, and counting
+        # it against keep_last would expire the snapshot live readers
+        # are actually on (review finding). Snapshots past CURRENT are
+        # always kept — versioned_commit rolls them forward later.
+        current = self.current_version()
+        settled = [s for s in history if s["version"] <= current]
+        ahead = [s for s in history if s["version"] > current]
+        keep = settled[-keep_last:] + ahead
+        expired = settled[:-keep_last]  # may be empty: orphan GC still runs
         live: set[str] = set()
         for snap in keep:
             live.update(self._snap_files(snap))
@@ -1603,8 +1684,9 @@ class LakeTable:
                 os.rmdir(root)  # fails (kept) if a concurrent writer added files
             except OSError:
                 pass
-        # expire old snapshot manifests too
-        for snap in history[:-keep_last]:
+        # expire old snapshot manifests too (never the orphans past
+        # CURRENT — they roll forward at the next commit)
+        for snap in expired:
             p = os.path.join(self.meta_dir, f"snap-{snap['version']:08d}.json")
             if os.path.exists(p):
                 os.remove(p)

@@ -186,8 +186,14 @@ class AnnIndex:
     # --------------------------------------------------------- cleanup
     def vacuum(self, keep_last: int = 1, grace_seconds: float = 3600.0) -> int:
         """Drop layout dirs not referenced by the newest ``keep_last``
-        manifests, past an age grace window (in-flight probes keep
-        their files)."""
+        manifests, once they have been UNREFERENCED for the grace
+        window (in-flight probes keep their files).
+
+        The grace clock runs from supersession via ``gc-`` marker
+        files, not from the dir's mtime — a layout built hours ago is
+        deleted instantly under an mtime rule the moment it leaves the
+        live set, exactly the in-flight-reader bug the WatermarkStore
+        cleanup fixed (review finding)."""
         v = self.current_version()
         if v is None:
             return 0
@@ -201,12 +207,26 @@ class AnnIndex:
         now = time.time()
         for entry in os.listdir(self.path):
             p = os.path.join(self.path, entry)
-            if (
-                entry.startswith("ix-")
-                and os.path.isdir(p)
-                and entry not in live
-                and now - os.path.getmtime(p) >= grace_seconds
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-                removed += 1
+            if not (entry.startswith("ix-") and os.path.isdir(p)):
+                continue
+            marker = os.path.join(self.path, f"gc-{entry}")
+            if entry in live:
+                if os.path.exists(marker):
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
+                continue
+            try:
+                if not os.path.exists(marker):
+                    with open(marker, "w") as f:
+                        f.write(str(now))
+                with open(marker) as f:
+                    unref_at = float(f.read().strip() or 0)
+                if now - unref_at >= grace_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+                    os.remove(marker)
+                    removed += 1
+            except (OSError, ValueError):
+                pass
         return removed

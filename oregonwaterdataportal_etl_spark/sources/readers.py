@@ -153,14 +153,16 @@ def _xlsx_date_styles(z, local) -> set[int]:
     return out
 
 
-def _xlsx_serial_to_datetime(serial: float):
-    """Excel 1900-system serial -> datetime (1899-12-30 base, the
-    openpyxl convention that absorbs the 1900 leap-year bug for all
-    post-Feb-1900 dates), rounded to the nearest millisecond to shed
-    float noise."""
+def _xlsx_serial_to_datetime(serial: float, date1904: bool = False):
+    """Excel serial -> datetime, rounded to the nearest millisecond to
+    shed float noise. 1900 system: 1899-12-30 base (the openpyxl
+    convention that absorbs the 1900 leap-year bug for all
+    post-Feb-1900 dates). 1904 system (Excel-for-Mac default, declared
+    by workbookPr date1904): 1904-01-01 base — ignoring the flag would
+    silently shift every date by 1462 days."""
     import datetime
 
-    base = datetime.datetime(1899, 12, 30)
+    base = datetime.datetime(1904, 1, 1) if date1904 else datetime.datetime(1899, 12, 30)
     ms = round(serial * 86400_000)
     return base + datetime.timedelta(milliseconds=ms)
 
@@ -184,6 +186,11 @@ def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
     with zipfile.ZipFile(path) as z:
         # sheet name -> relationship id -> worksheet part path
         wb = ET.fromstring(z.read("xl/workbook.xml"))
+        date1904 = any(
+            local(el.tag) == "workbookPr"
+            and el.get("date1904", "0").lower() in ("1", "true")
+            for el in wb.iter()
+        )
         rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
         rid_to_target = {}
         for rel in rels:
@@ -237,7 +244,7 @@ def _read_xlsx_native(path: str, sheets: list[str] | None = None) -> dict:
                     elif t == "e":  # formula error cell (#DIV/0! etc.)
                         val = None
                     elif int(c.get("s", "-1")) in date_styles:
-                        val = _xlsx_serial_to_datetime(float(v))
+                        val = _xlsx_serial_to_datetime(float(v), date1904)
                     else:
                         val = float(v)
                     while len(cells) < idx:

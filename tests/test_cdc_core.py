@@ -243,10 +243,11 @@ def test_runner_mor_with_autocompact(spark, tmp_path, changes_pdf):
     results = runner.run_available(window_size=1000)
     assert len(results) == 5
     assert table_state(table, spark) == oracle_state(changes_pdf.to_dict("records"))
-    # deltas folded at least once mid-run (the fold commits as a cow
-    # 'merge'; bin-packing only commits 'compact' when files accrete)
+    # deltas folded at least once mid-run (the fold commits as
+    # 'compact-fold' — file churn, not a logical row change, so
+    # staleness consumers ignore it; bin-packing commits 'compact')
     ops = [s["summary"]["operation"] for s in table.history()]
-    assert "merge-mor" in ops and "merge" in ops
+    assert "merge-mor" in ops and "compact-fold" in ops
 
 
 def test_hot_conversation_skew(spark, tmp_path):

@@ -528,6 +528,173 @@ def test_runner_with_ranged_source_matches_plain(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+# ----------------------------------------- review round-2 hardening
+def test_narrow_key_batch_buckets_correctly(spark, tmp_path):
+    """Review finding: a batch sending a (safely) NARROWER key type
+    must hash with the stored key type for the touched-bucket scan —
+    Murmur3(int) != Murmur3(long), so the raw type computed a wrong
+    touched set and merge aborted on the stray guard."""
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),  # stored WIDE key
+        T.StructField("text", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "nk"), schema, KEYS, num_buckets=8)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "a", 7, "x")],
+        "op string, lsn long, conv_id string, turn_idx long, text string"))
+    # narrow batch: turn_idx as int
+    t.merge(spark.createDataFrame(
+        [("update", 2, "a", 7, "y"), ("insert", 3, "b", 9, "z")],
+        "op string, lsn long, conv_id string, turn_idx int, text string"))
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read(spark).collect()}
+    assert got == {("a", 7): "y", ("b", 9): "z"}
+    # and the bucket-pruned point lookup still finds the updated key
+    assert t.lookup(spark, conv_id="a", turn_idx=7).collect()[0]["text"] == "y"
+
+
+def test_orphaned_snapshot_rolls_forward(spark, tmp_path):
+    """Review finding: a committer crashing between manifest fsync and
+    pointer swing previously wedged ALL future commits (every writer
+    computed the same next version and conflicted forever). The next
+    committer now completes the orphan's swing and retries on top."""
+    import json as _json
+    import os as _os
+
+    from oregonwaterdataportal_etl_spark.lake.table import CommitConflictError
+
+    t = make(tmp_path, nb=2)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "a", 0, "user", "x", None, None)], schema=CHANGE_SCHEMA))
+    v = t.current_version()
+    # simulate the crash: a fully-written snap for v+1, pointer not swung
+    orphan = dict(t.snapshot())
+    orphan["version"] = v + 1
+    orphan["parent"] = v
+    orphan["summary"] = {"operation": "merge"}
+    with open(_os.path.join(t.meta_dir, f"snap-{v + 1:08d}.json"), "w") as f:
+        _json.dump(orphan, f)
+    assert t.current_version() == v  # wedge armed
+    batch = spark.createDataFrame(
+        [("update", 5, "a", 0, "user", "y", None, None)], schema=CHANGE_SCHEMA)
+    # first attempt loses to the orphan BUT rolls the pointer forward...
+    with pytest.raises(CommitConflictError, match="crashed writer"):
+        t.merge(batch)
+    assert t.current_version() == v + 1, "orphan was not rolled forward"
+    # ...so a plain retry succeeds (what CdcRunner's retry loop does)
+    t.merge(batch)
+    assert t.read(spark).collect()[0]["text"] == "y"
+    # vacuum with an orphan ahead of CURRENT must not expire the
+    # snapshot readers are actually on
+    t2 = make(tmp_path, name="t2", nb=2)
+    t2.merge(spark.createDataFrame(
+        [("insert", 1, "b", 0, "user", "k", None, None)], schema=CHANGE_SCHEMA))
+    v2 = t2.current_version()
+    orphan2 = dict(t2.snapshot())
+    orphan2["version"] = v2 + 1
+    orphan2["files"] = {}
+    with open(_os.path.join(t2.meta_dir, f"snap-{v2 + 1:08d}.json"), "w") as f:
+        _json.dump(orphan2, f)
+    t2.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert t2.read(spark).count() == 1, "vacuum expired the live snapshot"
+
+
+def test_ann_index_not_stale_after_mor_delta_fold(spark, tmp_path):
+    """Review finding: compact() on a MOR table internally committed an
+    operation='merge' fold, which read as a data change and forced
+    spurious full index rebuilds. The fold rewrites storage, not the
+    resolved row set — the index must stay fresh and probe-equal."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators.ann_index import AnnIndex
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    t = LakeTable.create(str(tmp_path / "emb"), schema, KEYS, num_buckets=2)
+    rng = np.random.default_rng(8)
+    rows = [("insert", i, f"c{i}", int(i), int(i),
+             [float(x) for x in rng.standard_normal(6)]) for i in range(60)]
+    ddl = ("op string, lsn long, conv_id string, turn_idx int, "
+           "vec_id long, embedding array<double>")
+    t.merge(spark.createDataFrame(rows[:40], ddl))
+    t.merge(spark.createDataFrame(rows[40:], ddl), mode="mor")  # deltas pending
+    ix = AnnIndex(str(tmp_path / "ix"), t, kind="lsh", bits=3, seed=7)
+    ix.build(spark)
+    q = [float(x) for x in np.random.default_rng(77).standard_normal(6)]
+    before = [(r["vec_id"], round(r["cosine"], 6))
+              for r in ix.probe(spark, q, k=5, probes=2).collect()]
+    t.compact(spark)  # folds the MOR deltas (commits 'compact-fold')
+    assert not ix.stale(), "delta-folding compact wrongly invalidated the index"
+    after = [(r["vec_id"], round(r["cosine"], 6))
+             for r in ix.probe(spark, q, k=5, probes=2).collect()]
+    assert after == before
+
+
+def test_watermark_store_migrates_legacy_pointer(spark, tmp_path):
+    """Review finding: round-2 stores pointed CURRENT at the data dir
+    itself; the manifest-era reader must adopt it transparently instead
+    of crashing on int()."""
+    import os as _os
+
+    from oregonwaterdataportal_etl_spark.cdc import WatermarkStore
+
+    path = str(tmp_path / "legacy")
+    _os.makedirs(path)
+    # hand-build a round-2-format store: one parquet dir + dir-name pointer
+    legacy_dir = "v-deadbeefcafe"
+    spark.createDataFrame([("s1", 42.0)], ["conv_id", "wm"]).write.parquet(
+        _os.path.join(path, legacy_dir))
+    with open(_os.path.join(path, "CURRENT"), "w") as f:
+        f.write(legacy_dir)
+    store = WatermarkStore(path, compact_every=100)
+    assert store.exists()
+    assert _wm_rows(spark, store) == {"s1": 42.0}
+    store.update(spark.createDataFrame([("s2", 7.0)], ["conv_id", "wm"]))
+    assert _wm_rows(spark, store) == {"s1": 42.0, "s2": 7.0}
+
+
+def test_xlsx_date1904_system(spark, tmp_path):
+    """Review finding: Mac-origin workbooks (workbookPr date1904) use
+    the 1904 epoch; ignoring the flag shifted every date by 1462 days."""
+    import datetime
+    import zipfile
+
+    from oregonwaterdataportal_etl_spark.sources.readers import read_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    workbook = f"""<?xml version="1.0"?>
+<workbook {ns} xmlns:r="{rns}"><workbookPr date1904="1"/><sheets>
+  <sheet name="obs" sheetId="1" r:id="rId1"/>
+</sheets></workbook>"""
+    rels = f"""<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+  <Relationship Id="rId1" Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    styles = f"""<?xml version="1.0"?>
+<styleSheet {ns}><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+</styleSheet>"""
+    # 1904 system: serial 44197 = 2025-01-01 (44197 days after 1904-01-01)
+    serial = (datetime.datetime(2025, 1, 1) - datetime.datetime(1904, 1, 1)).days
+    sheet = f"""<?xml version="1.0"?>
+<worksheet {ns}><sheetData>
+  <row r="1"><c r="A1" t="str"><v>d</v></c></row>
+  <row r="2"><c r="A2" s="1"><v>{serial}</v></c></row>
+</sheetData></worksheet>"""
+    p = str(tmp_path / "mac.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    row = read_xlsx(spark, p)["obs"].collect()[0]
+    assert row["d"] == datetime.datetime(2025, 1, 1)
+
+
 # --------------------------------------------- type-widening evolution
 def test_type_widening_mid_stream(spark, tmp_path):
     """A source that upgrades an int payload column to long (or float
