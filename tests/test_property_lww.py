@@ -66,6 +66,36 @@ def test_lww_reduction_equals_oracle_fold(spark, raw, rnd):
     assert got == expected_rows
 
 
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy(), st.randoms())
+def test_lww_with_equal_lsn_ties_equals_oracle_fold(spark, raw, rnd):
+    """Round 3: COLLAPSED LSNs (lsn = i // 3) force same-(key,lsn)
+    ties between genuinely different events; the md5-family payload
+    tie-break must make the distributed reduction agree with the
+    sequential oracle on every example, in any delivery order."""
+    rows = [(op, lsn // 3, *rest) for (op, lsn, *rest) in to_rows(raw)]
+    events = [
+        dict(zip(["op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"], r))
+        for r in rows
+    ]
+    expected = oracle_fold(events)
+    expected_rows = sorted(
+        (k[0], k[1], v["text"]) for k, v in expected.items()
+    )
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)  # delivery order must not matter
+    df = spark.createDataFrame(shuffled, schema=CHANGE_SCHEMA)
+    # md5 family: the one with a pure-Python twin, so oracle agreement
+    # on tie winners is exact (xxhash64's determinism is covered by the
+    # dedicated ordering-independence tests)
+    deduped = lww_dedup(df, tiebreak_family="md5").filter("op != 'delete'")
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in deduped.collect()
+    )
+    assert got == expected_rows
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.text(min_size=0, max_size=30), st.integers(1, 9))
 def test_deterministic_hash_property(spark, s, k):
