@@ -368,6 +368,38 @@ def q_embedding_topk(spark, sf):
     )
 
 
+def q_neardup_clusters(spark, sf):
+    """Near-dup CLUSTERING: MinHash pair list -> connected components
+    (iterative min-label propagation, DataFrame joins only) ->
+    (id, component=min member). The step that turns pairwise near-dup
+    output into keep-one-per-cluster decisions; value-checked against
+    a DuckDB RECURSIVE-CTE transitive closure over the SAME generated
+    pair SQL."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_family="md5"
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_pack_documents(spark, sf):
+    """Sequence packing (concatenate-then-cut): deterministic md5
+    sharding + one per-shard window cumsum -> each document's start
+    offset and cut-bin span in the training token stream. Exact
+    integer arithmetic both engines (DIV, not float division)."""
+    from oregonwaterdataportal_etl_spark.operators.packing import pack_documents
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    return pack_documents(
+        d, size_col="n_tokens", id_col="doc_id", capacity=4096, n_shards=8
+    )
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash LSH near-dup pairs, md5 hash family: signatures, banding
     and verification are replicated verbatim by the generated DuckDB
@@ -588,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
+        "pack_documents": q_pack_documents,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1134,6 +1168,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type
         """,
         "minhash_neardup": _minhash_sql(),
+        # transitive closure over the SAME generated pair SQL: min
+        # reachable node per id == the engine's min-label propagation
+        "neardup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_sql()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, l) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(min(l) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
+        "pack_documents": """
+            WITH sized AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS size,
+                     CAST((cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 2147483647) % 8 AS INTEGER) AS shard
+              FROM documents
+            ), packed AS (
+              SELECT doc_id, size, shard,
+                     CAST(COALESCE(SUM(size) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_offset
+              FROM sized
+            )
+            SELECT doc_id, size, shard, start_offset,
+                   start_offset // 4096 AS bin_start,
+                   (start_offset + greatest(size - 1, 0)) // 4096 AS bin_end
+            FROM packed
+        """,
         "simhash_neardup": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "quality_score": _quality_sql(),

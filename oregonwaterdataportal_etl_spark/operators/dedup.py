@@ -363,3 +363,80 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (id, component)
+    with component = the MINIMUM member id — the clustering step that
+    turns pairwise near-dup output (minhash/simhash/embedding) into
+    keep-one-per-cluster dedup decisions.
+
+    Algorithm: iterative min-label propagation expressed as DataFrame
+    joins (small-star-ish). Each round every node takes the min label
+    among itself and its neighbors; convergence in O(diameter) rounds
+    (near-dup clusters are tiny and dense, so 2-4 rounds in practice;
+    max_iter bounds pathological chains). Each round is ONE join + ONE
+    groupBy on uniformly distributed ids — no driver-side graph, no
+    collect; intermediate results are localCheckpoint()ed so the plan
+    (and Spark's lineage) stays constant-size across iterations.
+
+    100-TB notes: label propagation's shuffle volume is O(edges) per
+    round; for corpus dedup the edge list is the (already blow-up-
+    guarded) near-dup pair output, orders of magnitude smaller than the
+    corpus. For billion-edge general graphs use the large/small-star
+    algorithm; this is the corpus-dedup-shaped cut of it.
+    """
+    # symmetric edge list + self-loops: a node's neighborhood includes
+    # itself, so isolated pair members and the min itself are stable
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(e.select(F.col("src").alias("src"), F.col("src").alias("dst")))
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        propagated = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = propagated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster (the minimum id — the
+    deterministic canonical) and every document that appears in no
+    pair. The end-to-end near-dup dedup: pairs -> components -> filter.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, on=id_col, how="left_anti")

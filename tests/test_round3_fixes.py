@@ -528,6 +528,69 @@ def test_runner_with_ranged_source_matches_plain(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+# ----------------------------------- clustering + packing operators
+def test_connected_components_and_canonical_dedup(spark):
+    """Chain 1-2-3, separate pair (7,9), and a disconnected doc: the
+    chain collapses to component 1 transitively (1 and 3 never share a
+    pair), and canonical dedup keeps exactly min-per-cluster plus
+    unpaired docs."""
+    from oregonwaterdataportal_etl_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9)], ["id_a", "id_b"]  # unordered pairs OK
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 5, 7]  # cluster minima + the unpaired doc
+
+
+def test_connected_components_long_chain_converges(spark):
+    from oregonwaterdataportal_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_pack_documents_offsets_and_bins(spark):
+    """Concatenate-then-cut semantics: exclusive running offsets within
+    a shard, straddling documents span bins, oversized documents span
+    many, empty documents occupy none."""
+    from oregonwaterdataportal_etl_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, 6), (2, 3), (3, 0), (4, 25), (5, 2)], ["doc_id", "n_tokens"]
+    )
+    out = {
+        r["doc_id"]: (r["start_offset"], r["bin_start"], r["bin_end"])
+        for r in pack_documents(
+            docs, capacity=8, n_shards=1
+        ).collect()
+    }
+    # one shard, ordered by doc_id: offsets 0,6,9,9,34
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (6, 0, 1)      # straddles the first cut
+    assert out[3] == (9, 1, 1)      # empty doc: bin of its start
+    assert out[4] == (9, 1, 4)      # 25 tokens span bins 1..4
+    assert out[5] == (34, 4, 4)
+    # deterministic across runs and shard counts partition consistently
+    a = sorted(map(tuple, pack_documents(docs, capacity=8, n_shards=4).collect()))
+    b = sorted(map(tuple, pack_documents(docs, capacity=8, n_shards=4).collect()))
+    assert a == b
+
+
 # ----------------------------------------- review round-2 hardening
 def test_narrow_key_batch_buckets_correctly(spark, tmp_path):
     """Review finding: a batch sending a (safely) NARROWER key type
