@@ -374,7 +374,8 @@ def q_neardup_clusters(spark, sf):
     (id, component=min member). The step that turns pairwise near-dup
     output into keep-one-per-cluster decisions; value-checked against
     a DuckDB RECURSIVE-CTE transitive closure over the SAME generated
-    pair SQL."""
+    pair SQL. NOTE: iterative — executes Spark jobs at BUILD time
+    (localCheckpoint per round), unlike the lazy builders."""
     d = _t(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(
         d, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_family="md5"

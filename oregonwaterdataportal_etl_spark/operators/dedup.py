@@ -404,6 +404,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         propagated = (
             edges.join(labels, edges.dst == labels.id)
@@ -418,9 +419,23 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # superseded checkpoint blocks would otherwise pin executor
+        # storage until driver GC catches up (review finding)
+        labels.unpersist()
         labels = propagated
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        # silently returning half-propagated labels would split true
+        # clusters (and diverge from the oracle's full closure) with no
+        # hint of the cause — fail loudly instead (review finding)
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

@@ -47,6 +47,8 @@ def pack_documents(
     their start offset."""
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
     shard = (md5_base_hash(F.col(id_col).cast("string")) % MD5_PRIME) % n_shards
     w = (
         Window.partitionBy("shard")

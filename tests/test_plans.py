@@ -127,6 +127,14 @@ def test_real_resolve_plan_single_exchange_no_python(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pack_documents_single_exchange(spark):
+    """Sequence packing must be ONE hash exchange (shard) + window —
+    no extra sort-merge machinery, no Python."""
+    plan = plan_of(entrymod.q_pack_documents(spark, SF))
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_topk_is_take_ordered(spark):
     """O1: global top-k must compile to TakeOrderedAndProject — a
     per-partition top-k + k-row reduce, never a full sort."""

@@ -585,10 +585,18 @@ def test_pack_documents_offsets_and_bins(spark):
     assert out[3] == (9, 1, 1)      # empty doc: bin of its start
     assert out[4] == (9, 1, 4)      # 25 tokens span bins 1..4
     assert out[5] == (34, 4, 4)
-    # deterministic across runs and shard counts partition consistently
+    # run-to-run deterministic at a multi-shard count, and the shard
+    # assignment is a pure function of the id (invariant to n_shards
+    # scaling by construction: same hash, different modulus)
     a = sorted(map(tuple, pack_documents(docs, capacity=8, n_shards=4).collect()))
     b = sorted(map(tuple, pack_documents(docs, capacity=8, n_shards=4).collect()))
     assert a == b
+    one = {r["doc_id"]: r["shard"] for r in pack_documents(docs, n_shards=1).collect()}
+    assert set(one.values()) == {0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        pack_documents(docs, n_shards=0)
 
 
 # ----------------------------------------- review round-2 hardening
