@@ -27,8 +27,10 @@ is what large-scale LM pipelines actually do.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .dedup import MD5_PRIME, md5_base_hash
@@ -73,3 +75,75 @@ def pack_documents(
         )
     )
     return out
+
+
+GREEDY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+    ]
+)
+
+
+def pack_documents_greedy(
+    df: DataFrame,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    capacity: int = 4096,
+    n_shards: int = 16,
+) -> DataFrame:
+    """NEVER-SPLIT packing variant: first-fit-decreasing within each
+    shard (documents are whole; a document opens a new bin when no open
+    bin fits it). For SFT-style training where examples must not
+    straddle bins — the complement of pack_documents' cut-packing.
+
+    The per-shard greedy scan is inherently sequential state, so it
+    runs as applyInPandas over the SAME deterministic md5 shards (one
+    Arrow batch per shard, vectorized ingest, a tight Python loop over
+    the shard's docs — the documented acceptable Python boundary, like
+    merge_asof). Documents larger than capacity get a bin of their own
+    (bin_fill > capacity flags them for truncation downstream). Bin ids
+    are globally unique as (shard, local ordinal) folded into a long.
+    Deterministic: shard assignment and the FFD order (size desc, id
+    asc) are pure functions of the data."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = (md5_base_hash(F.col(id_col).cast("string")) % MD5_PRIME) % n_shards
+    sized = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(size_col).cast("long").alias("size"),
+        shard.cast("int").alias("shard"),
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["size", "doc_id"], ascending=[False, True])
+        shard_id = int(pdf["shard"].iloc[0])
+        fills: list[int] = []  # bin ordinal -> tokens used
+        assign: list[int] = []
+        for sz in pdf["size"].to_numpy():
+            placed = -1
+            for b, used in enumerate(fills):
+                if used + sz <= capacity:
+                    placed = b
+                    break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += int(sz)
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "size": pdf["size"].to_numpy(),
+                "shard": shard_id,
+                "bin_id": [shard_id * 10_000_000_000 + b for b in assign],
+                "bin_fill": [fills[b] for b in assign],
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(pack_shard, schema=GREEDY_SCHEMA)

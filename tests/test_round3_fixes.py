@@ -599,6 +599,60 @@ def test_pack_documents_offsets_and_bins(spark):
         pack_documents(docs, n_shards=0)
 
 
+def test_pack_documents_greedy_never_splits(spark):
+    """Never-split variant: every bin respects capacity (except
+    single-oversized-doc bins), no document straddles, assignment is
+    deterministic, and all docs survive."""
+    from oregonwaterdataportal_etl_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([6, 3, 5, 2, 9, 1, 4, 12])],
+        ["doc_id", "n_tokens"],
+    )
+    rows = pack_documents_greedy(docs, capacity=8, n_shards=1).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(8))
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r["size"])
+    for b, sizes in by_bin.items():
+        if len(sizes) == 1 and sizes[0] > 8:
+            continue  # oversized doc gets its own flagged bin
+        assert sum(sizes) <= 8, f"bin {b} overflows: {sizes}"
+    # the 9- and 12-token docs are alone in their bins, fill flags them
+    solo = {r["size"]: r["bin_fill"] for r in rows if r["size"] > 8}
+    assert solo == {9: 9, 12: 12}
+    again = sorted(map(tuple, pack_documents_greedy(docs, capacity=8, n_shards=1).collect()))
+    assert again == sorted(map(tuple, rows))
+
+
+def test_type_widening_through_mor_deltas(spark, tmp_path):
+    """Widening arriving via MOR: a wide delta batch over a narrow base
+    must evolve the schema, read back resolved, and survive the
+    compaction fold."""
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "wm"), schema, KEYS, num_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, "a", 0, 5)],
+        "op string, lsn long, conv_id string, turn_idx int, n int"))
+    t.merge(spark.createDataFrame(
+        [("insert", 2, "b", 0, 2**40), ("update", 3, "a", 0, 7)],
+        "op string, lsn long, conv_id string, turn_idx int, n long"), mode="mor")
+    got = {(r["conv_id"], r["turn_idx"]): r["n"] for r in t.read(spark).collect()}
+    assert got == {("a", 0): 7, ("b", 0): 2**40}
+    t.compact(spark)
+    got2 = {(r["conv_id"], r["turn_idx"]): r["n"] for r in t.read(spark).collect()}
+    assert got2 == got
+    assert isinstance(
+        {f.name: f.dataType for f in t.schema().fields}["n"], T.LongType
+    )
+
+
 # ----------------------------------------- review round-2 hardening
 def test_narrow_key_batch_buckets_correctly(spark, tmp_path):
     """Review finding: a batch sending a (safely) NARROWER key type
