@@ -827,6 +827,7 @@ class LakeTable:
         self,
         df: DataFrame,
         pre_partitioned: bool = False,
+        sort_within: bool = False,
         _snap: dict | None = None,
     ) -> dict[str, list[str]]:
         """Write df (stored schema + _b) into per-bucket parquet files.
@@ -836,12 +837,28 @@ class LakeTable:
         write directly, no extra shuffle. Otherwise repartition first.
         Skew note: buckets hash the FULL key (conv_id AND turn_idx), so
         a hot conversation spreads across buckets by construction —
-        this replaces explicit salting."""
+        this replaces explicit salting.
+
+        sort_within=True clusters each bucket's rows by key before the
+        write, so parquet row-group min/max statistics carry TIGHT,
+        non-overlapping key ranges — a point lookup's pushed equality
+        predicate then skips whole row groups inside the bucket file
+        (Iceberg's sort-order-on-rewrite analog). Used by compact():
+        maintenance pays the local sort once so the serving reads skip
+        forever after."""
         snap = _snap if _snap is not None else self.snapshot()
         key_cols = snap["key_cols"]
         out_dir = os.path.join(self.data_dir, f"w-{uuid.uuid4().hex}")
         if not pre_partitioned:
             df = df.repartition(snap["num_buckets"], *[F.col(c) for c in key_cols])
+        if sort_within:
+            # _BUCKET_COL leads the sort: the dynamic-partition writer
+            # requires ordering by the partition column and would insert
+            # its OWN (unstable) sort otherwise, scrambling the key
+            # clustering this exists to produce
+            df = df.sortWithinPartitions(
+                F.col(_BUCKET_COL), *[F.col(c) for c in key_cols]
+            )
         df.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
@@ -1548,8 +1565,10 @@ class LakeTable:
         all_small = [f for fl in to_rewrite.values() for f in fl]
         df = spark.read.schema(stored).parquet(*all_small)
         out = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
-        # one task per bucket: coalesce within the bucket, no global shuffle
-        new_files = self._write_buckets(out, _snap=snap)
+        # one task per bucket: coalesce within the bucket, no global
+        # shuffle; key-sorted rows give tight row-group stats for
+        # lookup-time row-group skipping
+        new_files = self._write_buckets(out, sort_within=True, _snap=snap)
         files = dict(snap["files"])
         for b in to_rewrite:
             files.pop(b, None)
