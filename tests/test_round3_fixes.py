@@ -653,6 +653,50 @@ def test_type_widening_through_mor_deltas(spark, tmp_path):
     )
 
 
+def test_build_index_job_builds_then_noops(spark, tmp_path):
+    """jobs/build_index.py as a separate process: first run builds,
+    second run detects freshness and no-ops (the scheduled index
+    maintenance surface)."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, KEYS, num_buckets=2)
+    rng = np.random.default_rng(2)
+    t.merge(spark.createDataFrame(
+        [("insert", i, f"c{i}", int(i), int(i),
+          [float(x) for x in rng.standard_normal(6)]) for i in range(40)],
+        "op string, lsn long, conv_id string, turn_idx int, "
+        "vec_id long, embedding array<double>"))
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ, PYTHONPATH=repo)
+
+    def run_job():
+        out = subprocess.run(
+            [_sys.executable, _os.path.join(repo, "jobs", "build_index.py"),
+             str(tmp_path / "t"), str(tmp_path / "ix")],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        assert lines, out.stderr[-500:]
+        return _json.loads(lines[-1])
+
+    first = run_job()
+    assert first["was_stale"] and first["rebuilt"] and first["index_version"] == 0
+    second = run_job()
+    assert not second["was_stale"] and not second["rebuilt"]
+    assert second["index_version"] == 0
+
+
 def test_compact_sorts_buckets_for_rowgroup_stats(spark, tmp_path):
     """compact() must cluster each bucket file by key so parquet
     row-group min/max stats carry tight key ranges (lookup-time
