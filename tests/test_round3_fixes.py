@@ -653,6 +653,38 @@ def test_type_widening_through_mor_deltas(spark, tmp_path):
     )
 
 
+def test_pack_documents_stream_invariants(spark):
+    """Property-style invariants of cut-packing on a generated corpus:
+    per shard the offsets tile the token stream exactly (no gaps, no
+    overlaps), bin spans follow from the offsets, and the total stream
+    length equals the sum of sizes."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators.packing import pack_documents
+
+    rng = np.random.default_rng(13)
+    docs = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(rng.integers(0, 700, size=400))],
+        ["doc_id", "n_tokens"],
+    )
+    cap = 256
+    rows = pack_documents(docs, capacity=cap, n_shards=4).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(rows) == 400
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rs:
+            assert r["start_offset"] == expect, f"gap/overlap in shard {shard}"
+            assert r["bin_start"] == r["start_offset"] // cap
+            last = r["start_offset"] + max(r["size"] - 1, 0)
+            assert r["bin_end"] == last // cap
+            expect += r["size"]
+        assert expect == sum(r["size"] for r in rs)
+
+
 def test_build_index_job_builds_then_noops(spark, tmp_path):
     """jobs/build_index.py as a separate process: first run builds,
     second run detects freshness and no-ops (the scheduled index
