@@ -30,17 +30,31 @@ def main() -> None:
     spark = SparkSession.builder.appName("owdp-build-index").getOrCreate()
     table = LakeTable(table_dir)
     ix = AnnIndex(index_dir, table, kind=kind, vec_col=vec_col, id_col=id_col)
-    was_stale = ix.stale()
-    new_version = retry_on_conflict(lambda: ix.refresh_if_stale(spark))
+
+    # sample staleness INSIDE the retried closure so a racing builder
+    # can't produce an inconsistent was_stale/rebuilt pair in the report
+    state = {"was_stale": False}
+
+    def refresh():
+        state["was_stale"] = ix.stale()
+        return ix.refresh_if_stale(spark)
+
+    new_version = retry_on_conflict(refresh)
     removed = ix.vacuum()
+    man = ix.manifest()
     print(
         json.dumps(
             {
-                "was_stale": was_stale,
+                "was_stale": state["was_stale"],
                 "rebuilt": new_version is not None,
                 "index_version": ix.current_version(),
-                "table_version": ix.manifest()["table_version"],
-                "kind": kind,
+                "table_version": man["table_version"],
+                # the SERVED kind (from the manifest), plus a drift flag:
+                # stale() only tracks table rows, so invoking with a
+                # different kind against an existing fresh index does NOT
+                # rebuild — surface that instead of misreporting
+                "kind": man["kind"],
+                "kind_mismatch": man["kind"] != kind,
                 "layouts_vacuumed": removed,
             }
         )

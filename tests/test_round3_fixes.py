@@ -593,10 +593,12 @@ def test_pack_documents_offsets_and_bins(spark):
     assert a == b
     one = {r["doc_id"]: r["shard"] for r in pack_documents(docs, n_shards=1).collect()}
     assert set(one.values()) == {0}
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="n_shards"):
+    with pytest.raises(ValueError, match="n_shards"):
         pack_documents(docs, n_shards=0)
+    # null sizes fail fast instead of silently corrupting later offsets
+    with_null = spark.createDataFrame([(1, 5), (2, None)], "doc_id long, n_tokens int")
+    with pytest.raises(Exception, match="null n_tokens"):
+        pack_documents(with_null, capacity=8, n_shards=1).collect()
 
 
 def test_pack_documents_greedy_never_splits(spark):
@@ -625,6 +627,28 @@ def test_pack_documents_greedy_never_splits(spark):
     assert solo == {9: 9, 12: 12}
     again = sorted(map(tuple, pack_documents_greedy(docs, capacity=8, n_shards=1).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_pack_documents_greedy_string_ids_and_nulls(spark):
+    """The never-split packer keeps the INPUT id type (string ids are
+    first-class, as in the cut variant) and fails fast on null sizes
+    naming the offending ids."""
+    from oregonwaterdataportal_etl_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:04d}", s) for i, s in enumerate([5, 3, 7, 2])],
+        ["doc_id", "n_tokens"],
+    )
+    rows = pack_documents_greedy(docs, capacity=8, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in rows) == [f"doc-{i:04d}" for i in range(4)]
+    assert all(isinstance(r["doc_id"], str) for r in rows)
+    bad = spark.createDataFrame(
+        [("a", 5), ("b", None)], "doc_id string, n_tokens int"
+    )
+    with pytest.raises(Exception, match="null n_tokens"):
+        pack_documents_greedy(bad, capacity=8, n_shards=1).collect()
 
 
 def test_type_widening_through_mor_deltas(spark, tmp_path):
@@ -682,7 +706,10 @@ def test_pack_documents_stream_invariants(spark):
             last = r["start_offset"] + max(r["size"] - 1, 0)
             assert r["bin_end"] == last // cap
             expect += r["size"]
-        assert expect == sum(r["size"] for r in rs)
+    # no size mass dropped or duplicated: stream totals over ALL shards
+    # equal the INPUT corpus total (not the output's own sum)
+    input_total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["size"] for r in rows) == input_total
 
 
 def test_build_index_job_builds_then_noops(spark, tmp_path):
