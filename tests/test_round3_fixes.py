@@ -1190,6 +1190,36 @@ def test_watermark_compaction_folds_deltas(spark, tmp_path):
     assert leftover == set(), f"superseded dirs not collected: {leftover}"
 
 
+def test_watermark_store_equals_dict_fold_property(spark, tmp_path):
+    """Property-style: ANY sequence of (key, wm) updates, split into
+    arbitrary batches across compaction boundaries, must resolve to the
+    per-key MAX — the dict-fold oracle — regardless of delta/compact
+    state."""
+    import random
+
+    from oregonwaterdataportal_etl_spark.cdc import WatermarkStore
+
+    rnd = random.Random(31)
+    for trial in range(3):
+        events = [
+            (f"s{rnd.randrange(6)}", float(rnd.randrange(100)))
+            for _ in range(30)
+        ]
+        oracle: dict = {}
+        for k, v in events:
+            oracle[k] = max(oracle.get(k, v), v)
+        store = WatermarkStore(
+            str(tmp_path / f"wmp{trial}"), compact_every=rnd.choice([2, 3, 100])
+        )
+        i = 0
+        while i < len(events):
+            n = rnd.randrange(1, 8)
+            batch = events[i : i + n]
+            i += n
+            store.update(spark.createDataFrame(batch, ["conv_id", "wm"]))
+        assert _wm_rows(spark, store) == oracle, f"trial {trial} diverged"
+
+
 def test_watermark_concurrent_update_retries(spark, tmp_path):
     """The loser of a version race must retry against the NEW manifest
     and lose no update (max-merge is order-independent)."""
