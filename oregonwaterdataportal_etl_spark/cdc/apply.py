@@ -89,20 +89,36 @@ def apply_batch(
     return table.merge(changes, op_col=op_col, lsn_col=lsn_col, mode=mode)
 
 
-def oracle_fold(events: list[dict], key_cols=("conv_id", "turn_idx")) -> dict:
+def oracle_fold(
+    events: list[dict],
+    key_cols=("conv_id", "turn_idx"),
+    columns: list[str] | None = None,
+) -> dict:
     """Sequential LWW fold in pure Python (test oracle only; never in
     the data path). Events are folded in LSN order; highest LSN wins;
     delete removes. Returns {key_tuple: row_dict}.
 
     Equal-LSN ties are resolved by the SAME deterministic payload-hash
-    total order as the engine (lake.table.tiebreak_py over all non-lsn
-    non-op values in event order, then op): per key, the event with the
+    total order as the engine (lake.table.tiebreak_py over the non-lsn
+    non-op values, then op): per key, the event with the
     lexicographically greatest (lsn, limb1, limb2) wins — an
     engine-independent winner, stable across runs and input orderings.
+
+    columns: EXPLICIT hash-input column order. The engine hashes in
+    evolved-SCHEMA order (missing columns hash as null), while a dict
+    iterates in insertion order — a test that builds event dicts in any
+    other key order would silently diverge from the engine on equal-LSN
+    ties (review finding). Pass the table schema's column names
+    (lsn/op excluded automatically) whenever tie winners are asserted;
+    the insertion-order default is only safe for events built uniformly
+    in schema order.
     """
 
     def tb(ev):
-        vals = [v for k, v in ev.items() if k not in ("lsn", "op")]
+        if columns is not None:
+            vals = [ev.get(c) for c in columns if c not in ("lsn", "op")]
+        else:
+            vals = [v for k, v in ev.items() if k not in ("lsn", "op")]
         # normalize exactly like the engine (_op_decode(_op_code(op)):
         # anything that isn't a known op is an upsert -> "insert"), so
         # md5-family tie winners agree even for exotic op strings

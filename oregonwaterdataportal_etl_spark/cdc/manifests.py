@@ -39,19 +39,59 @@ def batch_id_for_window(source_id: str, lsn_lo: int, lsn_hi: int) -> str:
 
 
 class ManifestLog:
-    def __init__(self, path: str):
+    """commit_mode="pointer" (default): one mutable JSON per batch,
+    atomically replaced on the pending->committed transition.
+    commit_mode="rename-free" (object-store-safe): two IMMUTABLE
+    link-published files per batch — manifest-<id>.pending.json then
+    manifest-<id>.committed.json; committed shadows pending, and
+    re-publishing either name is the idempotent no-op (same batch, same
+    content). No rename anywhere on this path."""
+
+    def __init__(self, path: str, commit_mode: str = "pointer"):
+        if commit_mode not in ("pointer", "rename-free"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
         self.path = path
+        self.commit_mode = commit_mode
         os.makedirs(path, exist_ok=True)
 
-    def _file(self, batch_id: str) -> str:
-        return os.path.join(self.path, f"manifest-{batch_id}.json")
+    def _file(self, batch_id: str, state: str | None = None) -> str:
+        if state is None:
+            return os.path.join(self.path, f"manifest-{batch_id}.json")
+        return os.path.join(self.path, f"manifest-{batch_id}.{state}.json")
+
+    def _publish(self, path: str, doc: dict) -> None:
+        """Link-after-fsync immutable publish; existing name = replay."""
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        _fsync_dir(self.path)
+
+    def _doc(self, batch_id: str) -> dict | None:
+        # committed shadows pending shadows the pointer-mode file
+        for p in (
+            self._file(batch_id, "committed"),
+            self._file(batch_id, "pending"),
+            self._file(batch_id),
+        ):
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+        return None
 
     def status(self, batch_id: str) -> str | None:
-        p = self._file(batch_id)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)["status"]
+        doc = self._doc(batch_id)
+        return doc["status"] if doc else None
 
     def is_committed(self, batch_id: str) -> bool:
         return self.status(batch_id) == "committed"
@@ -66,37 +106,43 @@ class ManifestLog:
         _fsync_dir(self.path)
 
     def begin(self, batch_id: str, lsn_lo: int, lsn_hi: int) -> None:
-        self._write(
-            batch_id,
-            {
-                "batch_id": batch_id,
-                "status": "pending",
-                "lineage": f"[{lsn_lo},{lsn_hi}]",
-                "started_at": datetime.now(timezone.utc).isoformat(),
-            },
-        )
+        doc = {
+            "batch_id": batch_id,
+            "status": "pending",
+            "lineage": f"[{lsn_lo},{lsn_hi}]",
+            "started_at": datetime.now(timezone.utc).isoformat(),
+        }
+        if self.commit_mode == "rename-free":
+            self._publish(self._file(batch_id, "pending"), doc)
+        else:
+            self._write(batch_id, doc)
 
     def commit(self, batch_id: str, metrics: dict) -> None:
-        with open(self._file(batch_id)) as f:
-            doc = json.load(f)
+        doc = self._doc(batch_id)
+        if doc is None:
+            raise FileNotFoundError(f"no pending manifest for batch {batch_id}")
         doc.update(
             status="committed",
             metrics=metrics,
             committed_at=datetime.now(timezone.utc).isoformat(),
         )
-        self._write(batch_id, doc)
+        if self.commit_mode == "rename-free":
+            self._publish(self._file(batch_id, "committed"), doc)
+        else:
+            self._write(batch_id, doc)
 
     def read(self, batch_id: str) -> dict | None:
-        p = self._file(batch_id)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        return self._doc(batch_id)
 
     def all(self) -> list[dict]:
-        out = []
+        docs: dict[str, dict] = {}
         for name in sorted(os.listdir(self.path)):
-            if name.startswith("manifest-") and name.endswith(".json"):
-                with open(os.path.join(self.path, name)) as f:
-                    out.append(json.load(f))
-        return out
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.path, name)) as f:
+                doc = json.load(f)
+            prev = docs.get(doc["batch_id"])
+            # committed beats pending for the same batch
+            if prev is None or prev.get("status") != "committed":
+                docs[doc["batch_id"]] = doc
+        return sorted(docs.values(), key=lambda d: d["batch_id"])

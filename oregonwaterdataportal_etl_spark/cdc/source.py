@@ -44,6 +44,9 @@ class LsnRangedParquetSource:
         self.lsn_col = lsn_col
         # file -> (mtime, size, lo, hi); lo/hi None = no stats, always read
         self._stats: dict[str, tuple[float, int, int | None, int | None]] = {}
+        # (file-set signature) -> directory-level schema, so the pruned
+        # read pays schema inference once per log state, not per window
+        self._schema_cache: tuple[tuple, object] | None = None
 
     def _files(self) -> list[str]:
         if os.path.isfile(self.path):
@@ -119,4 +122,20 @@ class LsnRangedParquetSource:
         if not keep:
             # empty window: preserve the schema without scanning data
             return self.spark.read.parquet(self.path).filter(F.lit(False))
-        return self.spark.read.parquet(*keep)
+        # the pruned read must return the SAME columns as the unpruned
+        # fallback (review finding): resolve the schema ONCE from the
+        # directory-level read (covers schema-evolving logs whose kept
+        # subset would infer narrower) and set basePath so
+        # hive-partition directory columns survive a file-subset read.
+        sig = tuple(
+            (f, self._stats[f][0], self._stats[f][1])
+            for f in self._files()
+            if f in self._stats
+        )
+        if self._schema_cache is None or self._schema_cache[0] != sig:
+            self._schema_cache = (sig, self.spark.read.parquet(self.path).schema)
+        return (
+            self.spark.read.option("basePath", self.path)
+            .schema(self._schema_cache[1])
+            .parquet(*keep)
+        )

@@ -40,7 +40,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lake.table import CommitConflictError, versioned_commit
+from ..lake.table import (
+    CommitConflictError,
+    latest_manifest_version,
+    versioned_commit,
+)
 
 
 class WatermarkStore:
@@ -52,13 +56,17 @@ class WatermarkStore:
         compact_every: int = 8,
         cleanup_grace_seconds: float = 3600.0,
         keep_last_versions: int = 2,
+        commit_mode: str = "pointer",
     ):
+        if commit_mode not in ("pointer", "rename-free"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
         self.path = path
         self.key_col = key_col
         self.wm_col = wm_col
         self.compact_every = compact_every
         self.cleanup_grace_seconds = cleanup_grace_seconds
         self.keep_last_versions = keep_last_versions
+        self.commit_mode = commit_mode
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ meta
@@ -68,7 +76,11 @@ class WatermarkStore:
 
     def _current_version(self) -> int | None:
         if not os.path.exists(self._ptr):
-            return None
+            # rename-free stores have no pointer: derive CURRENT as the
+            # highest published manifest (complete by construction —
+            # see lake.table.versioned_commit). Manifests are
+            # v-<8 digits>.json; legacy v-<hex> DATA dirs never match.
+            return latest_manifest_version(self.path, "v-")
         with open(self._ptr) as f:
             raw = f.read().strip()
         try:
@@ -101,6 +113,7 @@ class WatermarkStore:
             f"v-{manifest['version']:08d}.json",
             manifest["version"],
             manifest,
+            pointer_name=None if self.commit_mode == "rename-free" else "CURRENT",
         )
 
     def exists(self) -> bool:
@@ -196,7 +209,12 @@ class WatermarkStore:
         now = time.time()
         for entry in os.listdir(self.path):
             p = os.path.join(self.path, entry)
-            if entry.startswith(("b-", "d-")) and os.path.isdir(p):
+            # "v-" DIRS are legacy round-2 bases adopted by the pointer
+            # migration; once a compaction fold supersedes one it must
+            # be swept like any other data dir (review finding: the
+            # b-/d- prefix filter leaked it forever). v-N.json manifest
+            # FILES never match the isdir check.
+            if entry.startswith(("b-", "d-", "v-")) and os.path.isdir(p):
                 marker = os.path.join(self.path, f"gc-{entry}")
                 if entry in live:
                     # re-referenced (e.g. rollback-style history walk):

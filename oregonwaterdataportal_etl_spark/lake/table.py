@@ -75,31 +75,46 @@ def versioned_commit(
     manifest_name: str,
     version: int,
     manifest: dict,
-    pointer_name: str = "CURRENT",
+    pointer_name: str | None = "CURRENT",
 ) -> None:
     """THE commit discipline, shared by LakeTable, WatermarkStore and
     AnnIndex (one implementation so a durability fix lands everywhere):
 
-    1. create the manifest file with O_EXCL — two committers that both
-       read the same parent race to create the same name; the loser
+    1. write the manifest JSON to a PRIVATE tmp file and fsync it;
+    2. publish it with os.link(tmp, manifest_name) — link has the same
+       fail-if-exists semantics as O_EXCL, so two committers that both
+       read the same parent race to create the same name and the loser
        gets CommitConflictError instead of silently clobbering the
-       winner (Iceberg's metadata-swap semantics);
-    2. fsync the manifest file;
+       winner (Iceberg's metadata-swap semantics). Because the JSON is
+       complete and fsynced BEFORE the name exists, manifest existence
+       IMPLIES manifest completeness: no reader or rival can ever
+       observe a half-written manifest (review finding — the previous
+       O_EXCL-create-then-write left a window in which a rival's
+       roll-forward could swing the pointer onto an empty file);
     3. atomically swing the pointer (write tmp, fsync, os.replace);
     4. fsync the metadata directory (rename/create durability).
 
-    CRASH RECOVERY (review finding): a committer that dies between
-    steps 2 and 3 leaves a fully-durable ORPHAN manifest with the
-    pointer still on the parent. Without repair, every later committer
-    computes the same next version, hits the orphan's file, and
-    conflicts forever — retry loops would livelock. The manifest is
-    written only after its data files are complete, so the orphan IS a
-    valid commit missing only its pointer swing: on conflict, if the
-    pointer still names an older version, this function rolls the
-    pointer FORWARD to the orphan (idempotent — a merely-slow rival
-    swinging concurrently writes the same value) and then raises
-    CommitConflictError so the caller re-reads the now-advanced state
-    and retries on top of it.
+    pointer_name=None selects RENAME-FREE mode for object stores
+    without atomic rename: steps 3-4 are skipped entirely and the
+    current version is DERIVED as the highest published manifest
+    (``latest_manifest_version``) — valid precisely because of the
+    existence-implies-completeness guarantee above. Conflicts still
+    arbitrate on the manifest create; there is no pointer, hence no
+    orphan-pointer recovery to need.
+
+    CRASH RECOVERY (pointer mode): a committer that dies between steps
+    2 and 3 leaves a fully-durable ORPHAN manifest with the pointer
+    still on the parent. Without repair, every later committer computes
+    the same next version, hits the orphan's file, and conflicts
+    forever — retry loops would livelock. The manifest is written only
+    after its data files are complete, so the orphan IS a valid commit
+    missing only its pointer swing: on conflict, if the pointer still
+    names an older version AND the existing manifest parses as JSON
+    (a foreign half-written file from a pre-upgrade writer must NOT be
+    pointed at), this function rolls the pointer FORWARD to the orphan
+    (idempotent — a merely-slow rival swinging concurrently writes the
+    same value) and then raises CommitConflictError so the caller
+    re-reads the now-advanced state and retries on top of it.
     """
 
     def _swing(to_version: int) -> None:
@@ -113,9 +128,19 @@ def versioned_commit(
         _fsync_dir(meta_dir)
 
     mpath = os.path.join(meta_dir, manifest_name)
+    tmp_manifest = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp_manifest, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp_manifest, mpath)
     except FileExistsError as e:
+        if pointer_name is None:
+            raise CommitConflictError(
+                f"version {version} ({manifest_name}) was committed "
+                "concurrently; re-read and retry"
+            ) from e
         ptr = os.path.join(meta_dir, pointer_name)
         try:
             with open(ptr) as f:
@@ -123,8 +148,20 @@ def versioned_commit(
         except (OSError, ValueError):
             current = None
         if current is None or current < version:
-            # crashed committer's orphan: complete its swing so the
-            # system rolls forward instead of wedging
+            # candidate orphan from a crashed committer — but only a
+            # COMPLETE manifest may be pointed at. Our own publishes are
+            # complete-by-construction (link after fsync); an
+            # unparseable file is foreign debris, so conflict without
+            # swinging rather than wedge readers on broken JSON.
+            try:
+                with open(mpath) as f:
+                    json.load(f)
+            except (OSError, ValueError):
+                raise CommitConflictError(
+                    f"version {version} ({manifest_name}) exists but is "
+                    "not a complete manifest; refusing to roll the "
+                    "pointer onto it — re-read and retry"
+                ) from e
             _swing(version)
             raise CommitConflictError(
                 f"version {version} ({manifest_name}) was committed by a "
@@ -135,11 +172,37 @@ def versioned_commit(
             f"version {version} ({manifest_name}) was committed "
             "concurrently; re-read and retry"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    _swing(version)
+    finally:
+        try:
+            os.unlink(tmp_manifest)
+        except OSError:
+            pass
+    if pointer_name is not None:
+        _swing(version)
+    else:
+        _fsync_dir(meta_dir)
+
+
+def latest_manifest_version(
+    meta_dir: str, prefix: str, suffix: str = ".json"
+) -> int | None:
+    """Highest published manifest version in a directory — the CURRENT
+    derivation for rename-free commit mode. Safe because
+    ``versioned_commit`` publishes manifests complete (link-after-fsync):
+    any listed name is a finished commit. Tmp files carry a
+    ``.tmp-<hex>`` suffix and never match."""
+    try:
+        names = os.listdir(meta_dir)
+    except FileNotFoundError:
+        return None
+    best = None
+    for name in names:
+        if name.startswith(prefix) and name.endswith(suffix):
+            mid = name[len(prefix): len(name) - len(suffix)]
+            if mid.isdigit():
+                v = int(mid)
+                best = v if best is None or v > best else best
+    return best
 
 
 LSN_COL = "_lsn"  # per-row last-applied LSN, the MERGE guard column
@@ -378,11 +441,23 @@ class LakeTable:
         return os.path.join(self.meta_dir, "CURRENT")
 
     def exists(self) -> bool:
-        return os.path.exists(self._current_ptr)
+        return (
+            os.path.exists(self._current_ptr)
+            or latest_manifest_version(self.meta_dir, "snap-") is not None
+        )
 
     def current_version(self) -> int:
-        with open(self._current_ptr) as f:
-            return int(f.read().strip())
+        """Pointer read, or (rename-free tables / object stores without
+        atomic rename) the highest published snapshot manifest — valid
+        because versioned_commit publishes manifests complete."""
+        try:
+            with open(self._current_ptr) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            v = latest_manifest_version(self.meta_dir, "snap-")
+            if v is None:
+                raise
+            return v
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -399,10 +474,20 @@ class LakeTable:
 
     def _commit(self, snap: dict) -> None:
         """Atomic snapshot commit with optimistic concurrency — the
-        shared ``versioned_commit`` discipline over snap-N.json."""
+        shared ``versioned_commit`` discipline over snap-N.json. Tables
+        created with commit_mode="rename-free" never write a pointer
+        (object-store-safe: O_EXCL-style link publish only; CURRENT is
+        derived as the max published manifest)."""
         os.makedirs(self.meta_dir, exist_ok=True)
+        pointer = (
+            None if snap.get("commit_mode") == "rename-free" else "CURRENT"
+        )
         versioned_commit(
-            self.meta_dir, f"snap-{snap['version']:08d}.json", snap["version"], snap
+            self.meta_dir,
+            f"snap-{snap['version']:08d}.json",
+            snap["version"],
+            snap,
+            pointer_name=pointer,
         )
 
     # --------------------------------------------------------- schema
@@ -742,12 +827,21 @@ class LakeTable:
         num_buckets: int = 16,
         dict_cols: dict[str, list[str]] | None = None,
         tiebreak_family: str = "xxhash64",
+        commit_mode: str = "pointer",
     ) -> "LakeTable":
         """dict_cols: {string_column: [expected values...]} — declared
         low-cardinality columns ride the merge/read shuffles as 2-byte
         dictionary codes instead of strings (values outside the declared
         set survive via a lossless fallback). A ~10-25% shuffle-byte cut
-        on transcript-shaped payloads (see DESIGN.md section 7)."""
+        on transcript-shaped payloads (see DESIGN.md section 7).
+
+        commit_mode: "pointer" (default, POSIX: atomic-rename CURRENT
+        pointer) or "rename-free" (object-store-safe: commits are
+        manifest publishes only — fail-if-exists link, no rename
+        anywhere; CURRENT is derived as the highest published
+        manifest). Recorded in every snapshot and carried forward."""
+        if commit_mode not in ("pointer", "rename-free"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
         t = LakeTable(path)
         if t.exists():
             raise ValueError(f"table already exists at {path}")
@@ -769,6 +863,7 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "dict_cols": dict_cols or {},
                 "tiebreak_family": tiebreak_family,
+                "commit_mode": commit_mode,
                 "files": {},
                 "summary": {"operation": "create"},
             }
@@ -895,6 +990,7 @@ class LakeTable:
                 "num_buckets": snap["num_buckets"],
                 "dict_cols": snap.get("dict_cols", {}),
                 "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
                 "files": files,
                 "row_counts": _rows_per_bucket(files),
                 "summary": {"operation": "overwrite"},
@@ -1350,6 +1446,7 @@ class LakeTable:
                 "num_buckets": n_buckets,
                 "dict_cols": snap.get("dict_cols", {}),
                 "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
                 "files": files,
                 "deltas": deltas,
                 "tombstones": tombstones,
@@ -1414,6 +1511,7 @@ class LakeTable:
                 "num_buckets": n_buckets,
                 "dict_cols": snap.get("dict_cols", {}),
                 "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
                 "files": dict(snap["files"]),
                 "deltas": deltas,
                 "tombstones": dict(snap.get("tombstones", {})),
@@ -1482,6 +1580,7 @@ class LakeTable:
                 "num_buckets": target["num_buckets"],
                 "dict_cols": target.get("dict_cols", {}),
                 "tiebreak_family": target.get("tiebreak_family", "xxhash64"),
+                "commit_mode": cur.get("commit_mode", "pointer"),
                 "files": dict(target["files"]),
                 "deltas": dict(target.get("deltas", {})),
                 "tombstones": dict(target.get("tombstones", {})),
@@ -1589,6 +1688,7 @@ class LakeTable:
                 "num_buckets": snap["num_buckets"],
                 "dict_cols": snap.get("dict_cols", {}),
                 "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
                 "files": files,
                 # unfolded deltas MUST carry forward — omitting this key
                 # silently dropped them from the snapshot (review find)
@@ -1780,6 +1880,7 @@ class LakeTable:
                 "num_buckets": snap["num_buckets"],
                 "dict_cols": snap.get("dict_cols", {}),
                 "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
                 "files": dict(snap["files"]),
                 "deltas": dict(snap.get("deltas", {})),
                 "tombstones": new_tombs,

@@ -32,11 +32,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..lake.table import LakeTable, versioned_commit
+from ..lake.table import LakeTable, latest_manifest_version, versioned_commit
 from . import similarity
 
-# snapshot operations that change the LOGICAL row set (vs file churn)
-_DATA_CHANGING_OPS = {"merge", "merge-mor", "overwrite", "rollback", "create"}
+# snapshot operations KNOWN to rewrite storage without changing the
+# LOGICAL row set. staleness checks are inverted against this set (any
+# missing/unknown operation label — older-format snapshots, future ops
+# — is conservatively treated as a data change, so the index rebuilds
+# rather than silently serving stale results; review finding: the
+# previous data-changing whitelist did the opposite)
+_FILE_CHURN_OPS = {"compact", "compact-fold", "expire-tombstones"}
 
 
 class IndexStaleError(RuntimeError):
@@ -51,10 +56,14 @@ class AnnIndex:
         kind: str = "lsh",
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        commit_mode: str = "pointer",
         **params,
     ):
         if kind not in ("lsh", "ivf"):
             raise ValueError(f"unknown index kind {kind}")
+        if commit_mode not in ("pointer", "rename-free"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
+        self.commit_mode = commit_mode
         self.path = path
         self.table = table
         self.kind = kind
@@ -70,7 +79,9 @@ class AnnIndex:
 
     def current_version(self) -> int | None:
         if not os.path.exists(self._ptr):
-            return None
+            # rename-free mode: CURRENT = highest published manifest
+            # (ix-<digits>.json; layout DIRS are ix-<hex> and non-.json)
+            return latest_manifest_version(self.path, "ix-")
         with open(self._ptr) as f:
             return int(f.read().strip())
 
@@ -88,6 +99,7 @@ class AnnIndex:
             f"ix-{manifest['version']:08d}.json",
             manifest["version"],
             manifest,
+            pointer_name=None if self.commit_mode == "rename-free" else "CURRENT",
         )
 
     # ----------------------------------------------------------- build
@@ -143,7 +155,7 @@ class AnnIndex:
                 op = self.table.snapshot(v).get("summary", {}).get("operation")
             except FileNotFoundError:
                 return True  # history expired under us: assume changed
-            if op in _DATA_CHANGING_OPS:
+            if op not in _FILE_CHURN_OPS:
                 return True
         return False
 

@@ -171,10 +171,19 @@ def minhash_lsh_pairs(
     def band_bucket(i):
         sl = F.slice("minhash", i * rows_per_band + 1, rows_per_band)
         if hash_family == "md5":
-            # md5 hex of the comma-joined slice — replicated verbatim by
-            # the oracle's md5(string_agg(mh, ',' ORDER BY f))
-            return F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
-        return F.xxhash64(sl, F.lit(i)).cast("string")
+            # md5 of the comma-joined slice — the oracle replicates the
+            # HEX form (md5(string_agg(mh, ',' ORDER BY f))); unhex is
+            # injective, so grouping by the 16-byte BINARY yields the
+            # identical buckets while the candidate shuffle ships half
+            # the key bytes (32-char hex -> 16-byte binary)
+            return F.unhex(
+                F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
+            )
+        # a LONG, not its 32-char string rendering: the candidate
+        # exchange carries (band, bucket, id) per banded row — the
+        # bucket key is the dominant byte cost at num_hashes/bands
+        # typical settings
+        return F.xxhash64(sl, F.lit(i))
 
     try:
         # band key = hash of the band's signature slice; candidate

@@ -297,7 +297,11 @@ def knn_join(
       the cluster parallelism; size it so one corpus block plus the
       query matrix fits an executor's Arrow batch memory.
     """
-    nq = queries.count()
+    # bounded path probe: only "is it over the threshold?" matters, so
+    # count at most threshold+1 rows instead of the full query set
+    # (review finding: a full count() here was a whole extra job over
+    # a possibly-huge query side)
+    nq = queries.limit(broadcast_threshold + 1).count()
     if nq <= broadcast_threshold:
         return knn_join_pandas(corpus, queries, id_col, vec_col, k)
     spark = corpus.sparkSession

@@ -53,15 +53,22 @@ MAINT_LOOP = textwrap.dedent(
 )
 
 
-def test_runner_vs_maintenance_process_exactly_once(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("commit_mode", ["pointer", "rename-free"])
+def test_runner_vs_maintenance_process_exactly_once(spark, tmp_path, commit_mode):
     stream_dir = str(tmp_path / "stream")
     n = 60_000
     spark.createDataFrame(
         generate_changes_pdf(n, 1500, seed=21, out_of_order=0.3, delete_rate=0.05)
     ).repartition(8).write.parquet(stream_dir)
 
+    # both modes share the O_EXCL-link arbitration; rename-free must
+    # survive the same real multi-process races with no pointer at all
     table = LakeTable.create(
-        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], num_buckets=4
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=4, commit_mode=commit_mode,
     )
     runner = CdcRunner(
         table,

@@ -1,0 +1,329 @@
+"""Round-4 regression tests for the judge/advisor findings:
+
+- versioned_commit publishes manifests COMPLETE (link-after-fsync):
+  a half-written rival manifest can no longer be pointed at by the
+  orphan roll-forward (the round-3 high-severity race)
+- rename-free (object-store-safe) commit mode across every versioned
+  store: LakeTable, WatermarkStore, AnnIndex, OffsetLog, ManifestLog —
+  no os.replace anywhere on the commit path, CURRENT derived from the
+  published-manifest set
+- AnnIndex.stale() inverted to a file-churn allowlist (unknown or
+  missing operation labels now count as data changes)
+- LsnRangedParquetSource pruned reads carry the DIRECTORY-level schema
+  (schema-evolving logs + hive-partitioned logs return the same
+  columns pruned or not)
+- oracle_fold takes an explicit tie-break column order (event-dict
+  insertion order no longer silently diverges from the engine)
+- WatermarkStore cleanup sweeps superseded legacy v- data dirs
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oregonwaterdataportal_etl_spark.cdc import (
+    CdcRunner,
+    ManifestLog,
+    OffsetLog,
+    oracle_fold,
+)
+from oregonwaterdataportal_etl_spark.cdc.changegen import (
+    CHANGE_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+    generate_changes_pdf,
+)
+from oregonwaterdataportal_etl_spark.cdc.source import LsnRangedParquetSource
+from oregonwaterdataportal_etl_spark.cdc.watermarks import WatermarkStore
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.lake.table import (
+    CommitConflictError,
+    latest_manifest_version,
+    versioned_commit,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+COLS = ["op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _stream(spark, n=4000, convs=120, seed=11):
+    return spark.createDataFrame(
+        generate_changes_pdf(n, convs, seed=seed, out_of_order=0.3, delete_rate=0.05)
+    )
+
+
+# --------------------------------------------------- commit completeness
+def test_incomplete_manifest_conflicts_without_pointer_swing(spark, tmp_path):
+    """A half-written (empty) rival manifest at the next version must
+    produce a plain CommitConflictError — NOT a pointer swing onto the
+    incomplete file (which made readers crash with JSONDecodeError) and
+    NOT a crash in the committer."""
+    t = LakeTable.create(str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=2)
+    t.merge(_stream(spark, 500, 30))
+    v = t.current_version()
+    # simulate a pre-upgrade writer that died between O_EXCL create and
+    # the JSON write: the manifest name exists but holds no JSON
+    with open(os.path.join(t.meta_dir, f"snap-{v + 1:08d}.json"), "w"):
+        pass
+    with pytest.raises(CommitConflictError, match="not a complete manifest"):
+        t.merge(_stream(spark, 500, 30, seed=12))
+    assert t.current_version() == v, "pointer was swung onto an incomplete manifest"
+    # current snapshot still loads fine (no JSONDecodeError anywhere)
+    assert t.snapshot()["version"] == v
+
+
+def test_orphaned_complete_manifest_still_rolls_forward(spark, tmp_path):
+    """The legitimate crash-recovery path survives the completeness
+    check: a COMPLETE orphan manifest (crash between manifest fsync and
+    pointer swing) is still rolled forward."""
+    t = LakeTable.create(str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=2)
+    t.merge(_stream(spark, 500, 30))
+    v = t.current_version()
+    orphan = dict(t.snapshot())
+    orphan["version"] = v + 1
+    orphan["parent"] = v
+    with open(os.path.join(t.meta_dir, f"snap-{v + 1:08d}.json"), "w") as f:
+        json.dump(orphan, f)
+    with pytest.raises(CommitConflictError, match="crashed writer"):
+        t.merge(_stream(spark, 500, 30, seed=12))
+    assert t.current_version() == v + 1
+
+
+def test_commit_leaves_no_tmp_files(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=2)
+    t.merge(_stream(spark, 500, 30))
+    t.merge(_stream(spark, 500, 30, seed=12), mode="mor")
+    leftovers = [n for n in os.listdir(t.meta_dir) if ".tmp-" in n]
+    assert leftovers == []
+
+
+# ------------------------------------------------------ rename-free mode
+def test_rename_free_table_matches_pointer_table(spark, tmp_path):
+    """Same stream through a pointer-mode and a rename-free table:
+    identical final state, identical replay idempotency — and the
+    rename-free table never creates a CURRENT pointer."""
+    s1 = _stream(spark, 3000, 100).localCheckpoint()
+    s2 = _stream(spark, 3000, 100, seed=13).localCheckpoint()
+    tp = LakeTable.create(str(tmp_path / "p"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4)
+    tr = LakeTable.create(
+        str(tmp_path / "r"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4,
+        commit_mode="rename-free",
+    )
+    for t in (tp, tr):
+        t.merge(s1)
+        t.merge(s2, mode="mor")
+        t.merge(s2, mode="mor")  # replay: LWW no-op
+        t.compact(spark)
+    assert not os.path.exists(os.path.join(tr.meta_dir, "CURRENT"))
+    assert tr.current_version() == tp.current_version()
+    cols = ["conv_id", "turn_idx", "text", "role"]
+    got = sorted(map(tuple, tr.read(spark).select(*cols).collect()))
+    want = sorted(map(tuple, tp.read(spark).select(*cols).collect()))
+    assert got == want and len(got) > 0
+    # time travel + rollback + vacuum all work without a pointer
+    assert tr.snapshot(1)["version"] == 1
+    tr.rollback(tr.current_version() - 1)
+    tr.vacuum(keep_last=2, orphan_grace_seconds=0.0)
+    assert tr.read(spark).count() == len(got)
+
+
+def test_rename_free_commit_conflict_arbitration(tmp_path):
+    """Two committers racing on the same version in rename-free mode:
+    exactly one wins; the loser sees CommitConflictError and a re-read
+    CURRENT that includes the winner."""
+    d = str(tmp_path / "meta")
+    os.makedirs(d)
+    versioned_commit(d, "snap-00000000.json", 0, {"v": 0}, pointer_name=None)
+    versioned_commit(d, "snap-00000001.json", 1, {"v": 1, "who": "a"}, pointer_name=None)
+    with pytest.raises(CommitConflictError, match="concurrently"):
+        versioned_commit(
+            d, "snap-00000001.json", 1, {"v": 1, "who": "b"}, pointer_name=None
+        )
+    assert latest_manifest_version(d, "snap-") == 1
+    with open(os.path.join(d, "snap-00000001.json")) as f:
+        assert json.load(f)["who"] == "a"  # winner's content intact
+    assert [n for n in os.listdir(d) if ".tmp-" in n] == []
+
+
+def test_rename_free_runner_end_to_end(spark, tmp_path):
+    """A full CdcRunner pipeline with EVERY versioned store in
+    rename-free mode: windows apply exactly-once, resume works, replay
+    is a no-op — and no store ever wrote a CURRENT pointer or used a
+    rename."""
+    stream_dir = str(tmp_path / "stream")
+    n = 12_000
+    spark.createDataFrame(
+        generate_changes_pdf(n, 400, seed=7, out_of_order=0.3, delete_rate=0.05)
+    ).repartition(4).write.parquet(stream_dir)
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4,
+        commit_mode="rename-free",
+    )
+    off = OffsetLog(str(tmp_path / "off"), "s1", commit_mode="rename-free")
+    man = ManifestLog(str(tmp_path / "man"), commit_mode="rename-free")
+    runner = CdcRunner(
+        table, off, man,
+        source=lambda: spark.read.parquet(stream_dir), mode="mor",
+    )
+    results = runner.run_available(window_size=4_000)
+    assert len(results) == 3
+    assert off.last_lsn() == n - 1
+    assert runner.run_window(0, 3_999) is None  # committed window replays as no-op
+    clean = LakeTable.create(
+        str(tmp_path / "clean"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+    )
+    clean.merge(spark.read.parquet(stream_dir))
+    cols = ["conv_id", "turn_idx", "text", "role"]
+    got = sorted(map(tuple, table.read(spark).select(*cols).collect()))
+    want = sorted(map(tuple, clean.read(spark).select(*cols).collect()))
+    assert got == want and len(got) > 0
+    for store_dir in (str(tmp_path / "t" / "_meta"), str(tmp_path / "off")):
+        assert not any(
+            name.startswith("CURRENT") for name in os.listdir(store_dir)
+        ), f"{store_dir} wrote a pointer in rename-free mode"
+
+
+def test_rename_free_watermark_store(spark, tmp_path):
+    ws = WatermarkStore(
+        str(tmp_path / "wm"), compact_every=2, commit_mode="rename-free",
+        cleanup_grace_seconds=0.0, keep_last_versions=1,
+    )
+    for hi in (5, 9, 3):  # third batch is stale: max must hold at 9
+        ws.update(spark.createDataFrame([("c1", hi), ("c2", hi + 1)], "conv_id string, wm int"))
+    got = {r["conv_id"]: r["wm"] for r in ws.read(spark).collect()}
+    assert got == {"c1": 9, "c2": 10}
+    assert not os.path.exists(os.path.join(str(tmp_path / "wm"), "CURRENT"))
+
+
+def test_rename_free_offset_and_manifest_logs(tmp_path):
+    off = OffsetLog(str(tmp_path / "off"), "s1", commit_mode="rename-free")
+    assert off.last_lsn() == -1
+    off.commit(99, "b1")
+    off.commit(199, "b2")
+    off.commit(199, "b2")  # replayed commit: idempotent
+    assert off.last_lsn() == 199 and off.resume_lsn() == 200
+    assert len(off.history()) == 3
+
+    man = ManifestLog(str(tmp_path / "man"), commit_mode="rename-free")
+    man.begin("abc", 0, 99)
+    assert man.status("abc") == "pending" and not man.is_committed("abc")
+    man.commit("abc", {"rows": 5})
+    man.begin("abc", 0, 99)  # replayed begin must NOT regress the status
+    assert man.is_committed("abc")
+    assert man.read("abc")["metrics"] == {"rows": 5}
+    assert [d["status"] for d in man.all()] == ["committed"]
+
+
+# ------------------------------------------------------- AnnIndex.stale
+def test_ann_index_stale_on_unknown_operation(spark, tmp_path):
+    """Snapshots with a missing or unrecognized operation label must be
+    treated as data changes (conservative rebuild), not file churn."""
+    from oregonwaterdataportal_etl_spark.operators.ann_index import AnnIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "emb"), schema, KEYS, num_buckets=2)
+    rows = [("c%d" % i, 0, i, [float(i), 1.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, schema).withColumns(
+        {"op": F.lit("insert"), "lsn": F.monotonically_increasing_id()}
+    )
+    t.merge(df)
+    ix = AnnIndex(str(tmp_path / "ix"), t, kind="lsh", bits=4)
+    ix.build(spark)
+    assert not ix.stale()
+    # craft a snapshot whose summary has NO operation label (older
+    # format / future op): stale() must flip to True
+    snap = dict(t.snapshot())
+    snap["version"] += 1
+    snap["parent"] = snap["version"] - 1
+    snap["summary"] = {}
+    t._commit(snap)
+    assert ix.stale(), "unknown snapshot operation treated as file churn"
+
+
+# ------------------------------------- pruned-read schema consistency
+def test_pruned_source_carries_directory_schema(spark, tmp_path):
+    """A schema-evolving change log: the pruned window that only
+    touches PRE-evolution files must still return the directory-level
+    schema (new column null-filled), matching the unpruned fallback."""
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(i, "c%d" % i) for i in range(100)], "lsn long, conv_id string"
+    ).coalesce(1).write.mode("append").parquet(log)
+    spark.createDataFrame(
+        [(i, "c%d" % i, "t") for i in range(100, 200)],
+        "lsn long, conv_id string, tool_meta string",
+    ).coalesce(1).write.mode("append").parquet(log)
+    src = LsnRangedParquetSource(spark, log)
+    pruned = src(0, 50)
+    full = src()
+    assert sorted(pruned.columns) == sorted(full.columns)
+    assert pruned.filter(F.col("lsn") <= 50).count() == 51
+    assert pruned.schema["tool_meta"].dataType == T.StringType()
+
+
+def test_pruned_source_keeps_hive_partition_columns(spark, tmp_path):
+    log = str(tmp_path / "plog")
+    spark.createDataFrame(
+        [(i, i % 2, "x") for i in range(200)], "lsn long, shard int, text string"
+    ).write.partitionBy("shard").mode("append").parquet(log)
+    src = LsnRangedParquetSource(spark, log)
+    pruned = src(0, 199)
+    assert "shard" in pruned.columns
+    assert pruned.select("shard").distinct().count() == 2
+
+
+# ------------------------------------------------ oracle_fold ordering
+def test_oracle_fold_explicit_column_order(spark):
+    """Equal-LSN ties: event dicts built in DIFFERENT key orders must
+    pick the same winner when the schema column order is passed — and
+    that winner must match the engine on an md5-family table."""
+    rows = [
+        ("update", 7, "c1", 0, "user", "payload-A", None, None),
+        ("update", 7, "c1", 0, "user", "payload-B", None, None),
+    ]
+    schema_order = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ev_schema = [dict(zip(COLS, r)) for r in rows]
+    # same events, dict keys inserted in a scrambled order
+    scramble = ["text", "role", "ts", "tool", "conv_id", "turn_idx", "op", "lsn"]
+    ev_scrambled = [{k: dict(zip(COLS, r))[k] for k in scramble} for r in rows]
+    w1 = oracle_fold(ev_schema, columns=schema_order)[("c1", 0)]["text"]
+    w2 = oracle_fold(ev_scrambled, columns=schema_order)[("c1", 0)]["text"]
+    assert w1 == w2
+    # engine parity (md5 family hashes in schema order)
+    from oregonwaterdataportal_etl_spark.cdc import lww_dedup
+
+    df = spark.createDataFrame(rows, schema=CHANGE_SCHEMA)
+    got = lww_dedup(df, tiebreak_family="md5").collect()
+    assert [r["text"] for r in got] == [w1]
+
+
+# -------------------------------------------- legacy v- data dir sweep
+def test_watermark_legacy_vdir_swept_after_supersession(spark, tmp_path):
+    """A migrated round-2 'v-<hex>' data dir must be garbage-collected
+    once compaction folds supersede it (it used to leak forever because
+    the sweep only matched b-/d- prefixes)."""
+    store = str(tmp_path / "wm")
+    os.makedirs(store)
+    legacy = "v-deadbeef"
+    spark.createDataFrame(
+        [("c1", 3)], "conv_id string, wm int"
+    ).coalesce(1).write.parquet(os.path.join(store, legacy))
+    with open(os.path.join(store, "CURRENT"), "w") as f:
+        f.write(legacy)
+    ws = WatermarkStore(
+        store, compact_every=2, cleanup_grace_seconds=0.0, keep_last_versions=1
+    )
+    # migration adopts the legacy dir; these updates trigger a fold
+    for hi in (5, 7, 9, 11):
+        ws.update(spark.createDataFrame([("c1", hi)], "conv_id string, wm int"))
+    assert {r["wm"] for r in ws.read(spark).collect()} == {11}
+    assert not os.path.isdir(os.path.join(store, legacy)), "legacy v- dir leaked"
