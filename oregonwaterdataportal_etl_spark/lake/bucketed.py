@@ -1,0 +1,128 @@
+"""Spark-native bucketed layouts: the zero-exchange merge substrate.
+
+The engine's own files are already written one-bucket-per-file with
+``pmod(hash(key_cols), n)`` — bit-identical to Spark's
+HashPartitioning — but a plain ``spark.read.parquet`` cannot REPORT
+that partitioning, so every resolve re-shuffles anyway (DESIGN.md §9's
+top remaining lever; the reference analog is its shuffle-free
+per-station partition crawl, userCode/wrd/dag.py:68,386-394).
+
+PySpark cannot implement DataSourceV2's SupportsReportPartitioning, but
+Spark's CATALOG bucketed tables report exactly the partitioning we
+need: a ``CREATE TABLE ... USING PARQUET CLUSTERED BY (keys) INTO n
+BUCKETS LOCATION dir`` scan reports HashPartitioning(keys, n), derives
+each file's bucket id from the ``_<bucketid>`` file-name suffix, and
+uses the SAME Murmur3 bucket function as the engine's layout. So:
+
+- ``write_bucketed_wal`` writes a change-log batch through Spark's own
+  bucketBy writer (one file per bucket, proper suffixes) — the
+  "pre-bucketed WAL tailer" of a production deployment;
+- ``register_bucketed_table`` registers any directory of
+  bucket-suffix-named parquet files as an external bucketed table
+  (session-scoped catalog entry; DROP leaves the files);
+- ``link_files_bucketed`` hardlinks the engine's per-bucket snapshot
+  files into a flat directory with synthetic bucket-suffix names, so a
+  LakeTable snapshot becomes registrable without copying a byte.
+
+On top of these, ``LakeTable.merge_prebucketed`` runs the full CDC
+resolve — batch LWW dedup window + full-outer join against base and
+tombstones — with ZERO exchanges (pinned by tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Spark's BucketingUtils file-name convention: ..._<bucketid>[.suffixes]
+_BUCKET_RE = re.compile(r".*_(\d+)(?:\..*)?$")
+
+
+def bucket_id_of(filename: str) -> int | None:
+    m = _BUCKET_RE.match(os.path.basename(filename))
+    return int(m.group(1)) if m else None
+
+
+def write_bucketed_wal(
+    df: DataFrame, path: str, num_buckets: int, key_cols: list[str]
+) -> None:
+    """Append a change batch to ``path`` in Spark's native bucketed
+    layout (bucket function = the engine's own layout function). The
+    repartition aligns tasks with buckets so each append lands ONE file
+    per touched bucket instead of tasks x buckets fragments. This is
+    the WAL producer's (one-time, off-merge-path) shuffle; the payoff
+    is every downstream merge reading it exchange-free."""
+    spark = df.sparkSession
+    name = f"wal_write_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(num_buckets, *[F.col(c) for c in key_cols])
+        .write.bucketBy(num_buckets, *key_cols)
+        .mode("append")
+        .option("path", os.path.abspath(path))
+        .saveAsTable(name)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    schema: T.StructType,
+    location: str,
+    key_cols: list[str],
+    num_buckets: int,
+    name: str | None = None,
+) -> str:
+    """Register ``location`` as an external bucketed parquet table and
+    return the (session-scoped) table name. Caller drops it with
+    ``spark.sql(f"DROP TABLE IF EXISTS `{name}`")`` — files survive."""
+    name = name or f"zx_{uuid.uuid4().hex[:12]}"
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    keys = ", ".join(f"`{c}`" for c in key_cols)
+    spark.sql(
+        f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) INTO {num_buckets} BUCKETS "
+        f"LOCATION '{os.path.abspath(location)}'"
+    )
+    return name
+
+
+def link_files_bucketed(
+    files_by_bucket: dict[str, list[str]],
+    reg_dir: str,
+    buckets: list[int] | None = None,
+) -> int:
+    """Hardlink the engine's per-bucket snapshot files into ``reg_dir``
+    under Spark bucket-suffix names (part-<i>-link_<bucket>.parquet).
+    Metadata-only (no data copied); returns files linked. The links are
+    plain extra names for the same inodes — deleting reg_dir later
+    never touches the snapshot's own paths."""
+    os.makedirs(reg_dir, exist_ok=True)
+    n = 0
+    for b, flist in files_by_bucket.items():
+        if buckets is not None and int(b) not in buckets:
+            continue
+        for f in flist:
+            os.link(
+                f, os.path.join(reg_dir, f"part-{n:05d}-link_{int(b):05d}.parquet")
+            )
+            n += 1
+    return n
+
+
+def wal_touched_buckets(path: str) -> list[int]:
+    """Buckets present in a bucketed WAL directory — file names only,
+    no Spark job (the merge's partition-pruning input)."""
+    out: set[int] = set()
+    for entry in os.listdir(path):
+        if entry.endswith(".parquet") and not entry.startswith(("_", ".")):
+            b = bucket_id_of(entry)
+            if b is not None:
+                out.add(b)
+    return sorted(out)

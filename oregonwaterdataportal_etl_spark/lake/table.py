@@ -754,6 +754,46 @@ class LakeTable:
         )
         return ranked.filter(F.col("__rn") == 1)
 
+    def _resolve_batch(
+        self, upd_tagged: DataFrame, key_cols: list[str], n_buckets: int
+    ) -> DataFrame:
+        """Batch-only LWW dedup (no base side): the same total order as
+        _resolve but WITHOUT the min(__src) over-partition metrics
+        column. That column exists to classify insert-vs-update against
+        base rows — the MOR append path has no base side and never
+        reads __all_chg — and it is precisely what blocks Spark's
+        WindowGroupLimit rank pushdown. With a pure rank filter the
+        optimizer inserts a PARTIAL top-1-per-key below the exchange,
+        so intra-batch duplicates collapse map-side before riding the
+        wire (the MOR apply's dominant shuffle volume at typical
+        duplication rates)."""
+        # the radix-prefix hash is materialized BELOW the repartition:
+        # if the window partitioned by an expression computed above the
+        # exchange, the optimizer could not push the Partial group
+        # limit under it (the partition key would not exist there)
+        ranked = (
+            upd_tagged.withColumn(
+                "__kh", F.xxhash64(*[F.col(c) for c in key_cols])
+            )
+            .repartition(n_buckets, *[F.col(c) for c in key_cols])
+            .select(
+                "*",
+                F.row_number()
+                .over(
+                    Window.partitionBy(
+                        "__kh", *[F.col(c) for c in key_cols]
+                    ).orderBy(
+                        F.desc("__lsn"),
+                        F.col("__tb1").desc_nulls_last(),
+                        F.col("__tb2").desc_nulls_last(),
+                        F.asc("__src"),
+                    )
+                )
+                .alias("__rn"),
+            )
+        )
+        return ranked.filter(F.col("__rn") == 1).drop("__kh")
+
     def _resolve_agg(self, base_tagged: DataFrame, upd_tagged: DataFrame,
                      key_cols: list[str]) -> DataFrame:
         """A/B alternative to _resolve: LWW as ONE aggregate —
@@ -1295,6 +1335,32 @@ class LakeTable:
         else:
             winners = self._resolve(base_tagged, upd_tagged, key_cols, n_buckets)
 
+        return self._finalize_cow(
+            spark, snap, evolved, dicts, winners, touched, bexpr,
+            passthru=passthru, use_passthrough=use_passthrough,
+            _operation_label=_operation_label,
+        )
+
+    def _finalize_cow(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        evolved: T.StructType,
+        dicts: dict,
+        winners: DataFrame,
+        touched: list[int],
+        bexpr,
+        passthru: DataFrame | None = None,
+        use_passthrough: bool = False,
+        _operation_label: str = "merge",
+    ) -> MergeResult:
+        """Shared copy-on-write tail: winners (columns = payload [dict-
+        encoded per ``dicts``] + __lsn/__tb1/__tb2/__op/__all_chg[/__src])
+        -> action classification -> single-pass bucketed write ->
+        metrics scan -> snapshot commit. Used by merge() (window/agg
+        resolve) and merge_prebucketed() (join resolve)."""
+        key_cols: list[str] = snap["key_cols"]
+        n_buckets = snap["num_buckets"]
         # -- single-pass write + metrics ----------------------------
         # ONE Spark job writes everything: surviving rows land in
         # _del=false; winning deletes AND carried tombstones land in
@@ -1461,8 +1527,7 @@ class LakeTable:
         files carrying (_lsn, _op). No base read, no base rewrite."""
         key_cols = snap["key_cols"]
         n_buckets = snap["num_buckets"]
-        empty = spark.createDataFrame([], upd_tagged.schema)
-        winners = self._resolve(empty, upd_tagged, key_cols, n_buckets)
+        winners = self._resolve_batch(upd_tagged, key_cols, n_buckets)
         out = winners.select(
             *self._payload_out(evolved, dicts),
             F.col("__lsn").alias(LSN_COL),
@@ -1489,8 +1554,10 @@ class LakeTable:
                 os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
             ]
         if new_delta:
-            allf = [f for fl in new_delta.values() for f in fl]
-            total = spark.read.parquet(*allf).count()
+            # footer row counts, not a Spark count() job: the old full
+            # re-read of every just-written delta file was pure metrics
+            # overhead on the hot MOR apply path (round-3 bench finding)
+            total = sum(_rows_per_bucket(new_delta).values())
 
         deltas = dict(snap.get("deltas", {}))
         for b, fl in new_delta.items():
