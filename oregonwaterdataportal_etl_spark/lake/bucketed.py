@@ -76,17 +76,28 @@ def register_bucketed_table(
     key_cols: list[str],
     num_buckets: int,
     name: str | None = None,
+    partition_col: str | None = None,
 ) -> str:
     """Register ``location`` as an external bucketed parquet table and
     return the (session-scoped) table name. Caller drops it with
-    ``spark.sql(f"DROP TABLE IF EXISTS `{name}`")`` — files survive."""
+    ``spark.sql(f"DROP TABLE IF EXISTS `{name}`")`` — files survive.
+
+    partition_col: optional hive-style directory partition column
+    (``<col>=<value>/`` subdirs each holding bucket-suffixed files);
+    buckets and directory partitions compose — the scan still reports
+    HashPartitioning(key_cols, n) and groups files by bucket id across
+    partition dirs. Run ``ALTER TABLE ... RECOVER PARTITIONS`` after
+    registration (external partitioned tables start with an empty
+    partition list)."""
     name = name or f"zx_{uuid.uuid4().hex[:12]}"
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
     keys = ", ".join(f"`{c}`" for c in key_cols)
+    part = f"PARTITIONED BY (`{partition_col}`) " if partition_col else ""
     spark.sql(
         f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+        f"{part}"
         f"CLUSTERED BY ({keys}) INTO {num_buckets} BUCKETS "
         f"LOCATION '{os.path.abspath(location)}'"
     )

@@ -1522,6 +1522,246 @@ class LakeTable:
         )
         return result
 
+    # ------------------------------------------- zero-exchange merge
+    def merge_prebucketed(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        lsn_range: tuple[int, int] | None = None,
+        validate_layout: bool = False,
+        _plan_out: list | None = None,
+    ) -> MergeResult:
+        """Copy-on-write merge of a PRE-BUCKETED change log with ZERO
+        exchanges (DESIGN.md §9's top structural lever; reference
+        analog: the shuffle-free per-station partition crawl,
+        userCode/wrd/dag.py:68,386-394).
+
+        ``source_path`` must hold a Spark-native bucketed layout
+        (``lake.bucketed.write_bucketed_wal``): bucketed by this
+        table's key columns into this table's num_buckets with Spark's
+        own bucket function — which is bit-identical to the engine's
+        ``_bucket_expr``. Both the WAL and the table's own per-bucket
+        snapshot files (hardlinked under bucket-suffix names) are then
+        registered as catalog bucketed tables, whose scans REPORT
+        HashPartitioning(key_cols, n). The whole resolve — batch LWW
+        dedup window, full-outer join against base and tombstones —
+        therefore satisfies every required distribution from storage:
+        no Exchange anywhere in the plan (pinned by tests/test_plans).
+        Per-task sorts remain (sort-merge join); sorts are local.
+
+        Semantics are IDENTICAL to merge(): the join compares the same
+        (lsn, tb1 desc-nulls-last, tb2, base-first) total order via a
+        single greatest() over per-side candidate structs, and the
+        winner feeds the same _finalize_cow tail (action metrics,
+        bucketed write, snapshot commit).
+
+        Restrictions: key column types in the WAL must EXACTLY match
+        the stored key types (the bucket layout hashed them; a cast
+        cannot fix file placement), and the table must carry no pending
+        MOR deltas (compact() first — deltas are not bucket-registrable
+        with >1 event per key deduplicated across files).
+
+        validate_layout=True runs one column-pruned pass checking every
+        row's engine bucket equals its file-name bucket — use in tests
+        or after ingesting a foreign WAL; off by default (O(batch)).
+
+        lsn_range=(lo, hi) applies the runner's window predicate inside
+        the bucketed scan (filters do not disturb the reported
+        partitioning)."""
+        import shutil
+
+        from . import bucketed as B
+
+        snap = self.snapshot()
+        key_cols: list[str] = snap["key_cols"]
+        n_buckets = snap["num_buckets"]
+        tb_family = snap.get("tiebreak_family", "xxhash64")
+        if snap.get("deltas"):
+            raise ValueError(
+                "table has pending merge-on-read deltas; compact() before "
+                "merge_prebucketed (deltas are not bucket-registrable)"
+            )
+        touched = B.wal_touched_buckets(source_path)
+        if not touched:
+            return MergeResult(version=snap["version"])
+        if touched[-1] >= n_buckets:
+            raise ValueError(
+                f"WAL bucket id {touched[-1]} >= table num_buckets "
+                f"{n_buckets}: the log was bucketed with a different spec"
+            )
+        wal_schema = spark.read.parquet(source_path).schema
+        stored_fields = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(snap["schema"])).fields
+        }
+        wal_fields = {f.name: f.dataType for f in wal_schema.fields}
+        for c in key_cols:
+            if c not in wal_fields:
+                raise ValueError(f"WAL is missing key column {c}")
+            if wal_fields[c] != stored_fields[c]:
+                raise ValueError(
+                    f"WAL key column {c} is {wal_fields[c]}, table stores "
+                    f"{stored_fields[c]}: bucket layouts hash the exact "
+                    f"type — rewrite the WAL with the stored key types"
+                )
+        evolved = self.evolve_schema(
+            T.StructType(
+                [f for f in wal_schema.fields if f.name not in (op_col, lsn_col)]
+            )
+        )
+        bexpr = self._bucket_expr(snap)
+        reg_root = os.path.join(self.path, "_bucketed", f"reg-{uuid.uuid4().hex}")
+        tables: list[str] = []
+        try:
+            wal_name = B.register_bucketed_table(
+                spark, wal_schema, source_path, key_cols, n_buckets
+            )
+            tables.append(wal_name)
+            upd = spark.table(wal_name)
+            if lsn_range is not None:
+                upd = upd.filter(
+                    (F.col(lsn_col) >= lsn_range[0])
+                    & (F.col(lsn_col) <= lsn_range[1])
+                )
+            if validate_layout:
+                fb = F.regexp_extract(F.input_file_name(), r"_(\d+)\.", 1).cast("int")
+                bad = (
+                    spark.table(wal_name)
+                    .select(*[F.col(c) for c in key_cols], fb.alias("__fb"))
+                    .filter(bexpr != F.col("__fb"))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        "WAL layout invalid: a row's engine bucket differs "
+                        "from its file-name bucket (wrong keys or bucket "
+                        "count at write time)"
+                    )
+
+            nonkey = [f for f in evolved.fields if f.name not in key_cols]
+
+            def cand(df, src: int, lsn_expr, op_expr, t1, t2):
+                """One side's per-key candidate: rank fields FIRST so a
+                single greatest() applies the exact _resolve order —
+                (lsn, tb1, tb2, -src); struct comparison treats null
+                fields as smallest, matching desc_nulls_last."""
+                return df.select(
+                    *[F.col(c) for c in key_cols],
+                    F.struct(
+                        lsn_expr.cast("long").alias("l"),
+                        t1.cast("long").alias("t1"),
+                        t2.cast("long").alias("t2"),
+                        F.lit(-src).cast("int").alias("ns"),
+                        op_expr.cast("tinyint").alias("op"),
+                        *[
+                            (
+                                F.col(f.name).cast(f.dataType)
+                                if f.name in df.columns
+                                else F.lit(None).cast(f.dataType)
+                            ).alias(f"p_{f.name}")
+                            for f in nonkey
+                        ],
+                    ).alias("__cand"),
+                )
+
+            # batch side: LWW dedup window over the bucketed scan (no
+            # exchange — HashPartitioning(keys) satisfies the window's
+            # clustering; the xxhash64 radix prefix rides a projection)
+            t1, t2 = self._update_tiebreak(upd.columns, evolved, op_col, tb_family)
+            kh = F.xxhash64(*[F.col(c) for c in key_cols])
+            w = Window.partitionBy(kh, *[F.col(c) for c in key_cols]).orderBy(
+                F.desc(lsn_col), t1.desc_nulls_last(), t2.desc_nulls_last()
+            )
+            upd1 = (
+                upd.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            upd_side = cand(
+                upd1, 1, F.col(lsn_col), _op_code(F.col(op_col)), t1, t2
+            ).withColumnRenamed("__cand", "__cand_u")
+
+            # base rows and tombstones are DISJOINT key sets, so they
+            # register as ONE bucketed table partitioned by a side=
+            # directory column (a second full-outer join would coalesce
+            # the key columns of the first, hiding their partitioning
+            # from Catalyst and forcing an exchange — measured, then
+            # fixed with this single-table design)
+            stored = self._stored_schema()
+            base_files = {
+                b: fl for b, fl in snap["files"].items() if int(b) in touched
+            }
+            tomb_files = {
+                b: fl
+                for b, fl in snap.get("tombstones", {}).items()
+                if int(b) in touched
+            }
+            base_side = None
+            if base_files or tomb_files:
+                bt_dir = os.path.join(reg_root, "basetomb")
+                if base_files:
+                    B.link_files_bucketed(
+                        base_files, os.path.join(bt_dir, "side=b")
+                    )
+                if tomb_files:
+                    B.link_files_bucketed(
+                        tomb_files, os.path.join(bt_dir, "side=t")
+                    )
+                part_schema = T.StructType(
+                    list(stored.fields) + [T.StructField("side", T.StringType())]
+                )
+                bt_name = B.register_bucketed_table(
+                    spark, part_schema, bt_dir, key_cols, n_buckets,
+                    partition_col="side",
+                )
+                tables.append(bt_name)
+                spark.sql(f"ALTER TABLE `{bt_name}` RECOVER PARTITIONS")
+                btdf = spark.table(bt_name)
+                base_side = cand(
+                    btdf, 0, F.col(LSN_COL),
+                    F.when(F.col("side") == "t", F.lit(_OP_TOMBSTONE)).otherwise(
+                        F.lit(_OP_BASE)
+                    ),
+                    F.col(_TB1_COL), F.col(_TB2_COL),
+                ).withColumnRenamed("__cand", "__cand_b")
+
+            if base_side is not None:
+                joined = upd_side.join(base_side, on=key_cols, how="full_outer")
+                winner = F.greatest("__cand_u", "__cand_b")
+                base_side_present = F.col("__cand_b").isNotNull()
+            else:
+                joined = upd_side
+                winner = F.col("__cand_u")
+                base_side_present = F.lit(False)
+            winners = joined.select(
+                *[F.col(c) for c in key_cols],
+                *[winner[f"p_{f.name}"].alias(f.name) for f in nonkey],
+                winner["l"].alias("__lsn"),
+                winner["t1"].alias("__tb1"),
+                winner["t2"].alias("__tb2"),
+                winner["op"].alias("__op"),
+                F.when(winner["ns"] == 0, 0).otherwise(1).alias("__src"),
+                F.when(base_side_present, 0).otherwise(1).alias("__all_chg"),
+            )
+            if _plan_out is not None:
+                _plan_out.append(
+                    winners._jdf.queryExecution().executedPlan().toString()
+                )
+            return self._finalize_cow(
+                spark, snap, evolved, {}, winners, touched, bexpr,
+                _operation_label="merge-prebucketed",
+            )
+        finally:
+            for name in tables:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+                except Exception:
+                    pass
+            shutil.rmtree(reg_root, ignore_errors=True)
+
     def _merge_mor(self, spark, snap, upd_tagged, evolved, dicts, touched, bexpr) -> MergeResult:
         """Append path: within-batch LWW dedup, then per-bucket delta
         files carrying (_lsn, _op). No base read, no base rewrite."""

@@ -1,0 +1,174 @@
+"""Zero-exchange pre-bucketed merge (lake/bucketed.py +
+LakeTable.merge_prebucketed).
+
+The claim under test: a change log written in Spark's native bucketed
+layout (same keys, same bucket count, same Murmur3 bucket function as
+the table) merges with NO Exchange anywhere in the resolve plan, and
+the result is bit-identical to the ordinary window-resolve merge()
+— including deletes/tombstones, replays, additive schema evolution and
+LSN-window filtering.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oregonwaterdataportal_etl_spark.cdc.changegen import (
+    TRANSCRIPT_SCHEMA,
+    generate_changes_pdf,
+)
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.lake.bucketed import (
+    wal_touched_buckets,
+    write_bucketed_wal,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+NB = 4
+
+
+def _stream(spark, n, seed, lsn_start=0):
+    pdf = generate_changes_pdf(
+        n, max(n // 40, 10), seed=seed, out_of_order=0.3, delete_rate=0.08
+    )
+    df = spark.createDataFrame(pdf)
+    if lsn_start:
+        df = df.withColumn("lsn", F.col("lsn") + lsn_start)
+    return df
+
+
+def _twins(spark, tmp_path, name="t"):
+    a = LakeTable.create(
+        str(tmp_path / f"{name}_win"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    b = LakeTable.create(
+        str(tmp_path / f"{name}_zx"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    return a, b
+
+
+def _state(spark, t):
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return sorted(map(tuple, t.read(spark).select(*cols).collect()))
+
+
+def test_prebucketed_merge_equals_window_merge(spark, tmp_path):
+    """Two batches (the second replaying part of the first and carrying
+    deletes) through merge() and merge_prebucketed(): identical final
+    states, identical action metrics, tombstones honored."""
+    twin, zx = _twins(spark, tmp_path)
+    b1 = _stream(spark, 3000, seed=31).localCheckpoint()
+    b2 = _stream(spark, 2000, seed=32, lsn_start=3000).localCheckpoint()
+    wal1 = str(tmp_path / "wal1")
+    wal2 = str(tmp_path / "wal2")
+    write_bucketed_wal(b1, wal1, NB, KEYS)
+    write_bucketed_wal(b2, wal2, NB, KEYS)
+    assert wal_touched_buckets(wal1) == list(range(NB))
+
+    r1w = twin.merge(b1)
+    r1z = zx.merge_prebucketed(spark, wal1, validate_layout=True)
+    assert _state(spark, twin) == _state(spark, zx)
+    for f in ("rows_inserted", "rows_updated", "rows_deleted", "rows_noop",
+              "rows_dropped"):
+        assert getattr(r1w, f) == getattr(r1z, f), f
+
+    # second batch: zx table now has base files AND tombstones
+    assert zx.stats()["tombstone_files"] > 0
+    r2w = twin.merge(b2)
+    r2z = zx.merge_prebucketed(spark, wal2)
+    assert _state(spark, twin) == _state(spark, zx)
+    for f in ("rows_inserted", "rows_updated", "rows_deleted", "rows_noop",
+              "rows_dropped"):
+        assert getattr(r2w, f) == getattr(r2z, f), f
+
+    # replaying an already-applied WAL is a pure no-op on state
+    zx.merge_prebucketed(spark, wal2)
+    assert _state(spark, twin) == _state(spark, zx)
+
+
+def test_prebucketed_plan_has_zero_exchanges(spark, tmp_path):
+    """THE pin for the storage-partitioned merge: batch dedup window +
+    full-outer join against base resolve entirely from bucketed scans —
+    no Exchange of any kind in the executed plan."""
+    twin, zx = _twins(spark, tmp_path)
+    b1 = _stream(spark, 2000, seed=41).localCheckpoint()
+    b2 = _stream(spark, 1500, seed=42, lsn_start=2000).localCheckpoint()
+    wal1, wal2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_bucketed_wal(b1, wal1, NB, KEYS)
+    write_bucketed_wal(b2, wal2, NB, KEYS)
+    zx.merge_prebucketed(spark, wal1)
+    plans = []
+    zx.merge_prebucketed(spark, wal2, _plan_out=plans)
+    plan = plans[0]
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prebucketed_schema_evolution(spark, tmp_path):
+    """A WAL batch carrying a new additive column evolves the table at
+    merge time exactly like merge() (old rows null-fill)."""
+    twin, zx = _twins(spark, tmp_path)
+    b1 = _stream(spark, 1500, seed=51).localCheckpoint()
+    b2 = (
+        _stream(spark, 800, seed=52, lsn_start=1500)
+        .withColumn("tool_meta", F.concat(F.lit("m-"), F.col("conv_id")))
+        .localCheckpoint()
+    )
+    wal1, wal2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_bucketed_wal(b1, wal1, NB, KEYS)
+    write_bucketed_wal(b2, wal2, NB, KEYS)
+    for t, how in ((twin, "win"), (zx, "zx")):
+        if how == "win":
+            t.merge(b1); t.merge(b2)
+        else:
+            t.merge_prebucketed(spark, wal1)
+            t.merge_prebucketed(spark, wal2)
+    assert "tool_meta" in [f.name for f in zx.schema().fields]
+    cols = ["conv_id", "turn_idx", "text", "tool_meta"]
+    got = sorted(map(tuple, zx.read(spark).select(*cols).collect()))
+    want = sorted(map(tuple, twin.read(spark).select(*cols).collect()))
+    assert got == want
+
+
+def test_prebucketed_lsn_range_matches_filtered_merge(spark, tmp_path):
+    twin, zx = _twins(spark, tmp_path)
+    b = _stream(spark, 2000, seed=61).localCheckpoint()
+    wal = str(tmp_path / "w")
+    write_bucketed_wal(b, wal, NB, KEYS)
+    twin.merge(b.filter("lsn between 0 and 999"))
+    zx.merge_prebucketed(spark, wal, lsn_range=(0, 999))
+    assert _state(spark, twin) == _state(spark, zx)
+
+
+def test_prebucketed_rejects_bad_layouts(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    b = _stream(spark, 500, seed=71).localCheckpoint()
+    # wrong bucket count: ids beyond num_buckets are rejected outright
+    wal8 = str(tmp_path / "wal8")
+    write_bucketed_wal(b, wal8, 8, KEYS)
+    with pytest.raises(ValueError, match="different spec"):
+        t.merge_prebucketed(spark, wal8)
+    # same count but wrong keys: only validate_layout catches it
+    walk = str(tmp_path / "walk")
+    write_bucketed_wal(b, walk, NB, ["conv_id"])
+    with pytest.raises(ValueError, match="layout invalid"):
+        t.merge_prebucketed(spark, walk, validate_layout=True)
+    # pending MOR deltas refuse the zero-exchange path
+    t.merge(b, mode="mor")
+    wal = str(tmp_path / "wal")
+    write_bucketed_wal(b, wal, NB, KEYS)
+    with pytest.raises(ValueError, match="compact"):
+        t.merge_prebucketed(spark, wal)
+    # key-type mismatch (int vs the stored long/int pairing)
+    t2 = LakeTable.create(
+        str(tmp_path / "t2"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    narrow = b.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    waln = str(tmp_path / "waln")
+    write_bucketed_wal(narrow, waln, NB, KEYS)
+    with pytest.raises(ValueError, match="stored key types|stores"):
+        t2.merge_prebucketed(spark, waln)
