@@ -1,0 +1,149 @@
+"""Measured datapoint: zero-exchange (pre-bucketed WAL) vs one-exchange
+(window resolve) steady-state merge.
+
+Regime: the 10^10-row steady state in miniature — a base built from
+15/16 of the stream, then the 1/16 tail applied as one window. Paths:
+
+  window      — ordinary merge(): batch + touched base ride ONE
+                exchange (the round-3 plan);
+  prebucketed — merge_prebucketed(): the tail is a bucketed WAL; batch
+                dedup + full-outer join resolve with ZERO exchanges.
+                The WAL's own bucketed write cost (the producer-side
+                shuffle this design moves off the merge path) is
+                reported separately as wal_write_sec.
+
+Discipline per BENCH.md: subprocess isolation, file-backed output,
+warmup from the same parquet source, best-of-N.
+
+Usage: python bench_zx.py                    # 32M events, local[8]
+       ZX_EVENTS=8000000 ZX_CPUS=32 python bench_zx.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+EVENTS = int(os.environ.get("ZX_EVENTS", "32000000"))
+CONVS = EVENTS // 40
+CPUS = int(os.environ.get("ZX_CPUS", "8"))
+REPEATS = int(os.environ.get("ZX_REPEATS", "2"))
+NB = CPUS * 4
+
+
+def worker(path_kind: str, stream_dir: str, workdir: str) -> None:
+    import uuid
+
+    from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
+    from oregonwaterdataportal_etl_spark.lake import LakeTable, write_bucketed_wal
+    from oregonwaterdataportal_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"zx-{path_kind}", master=f"local[{CPUS}]", shuffle_partitions=NB
+    )
+    run_id = uuid.uuid4().hex[:8]
+    cut = int(EVENTS * 15 / 16)
+    n_tail = EVENTS - cut
+    changes = spark.read.parquet(stream_dir)
+
+    table = LakeTable.create(
+        os.path.join(workdir, f"t-{run_id}"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=NB,
+    )
+    # base build + plan warmup in one (same plan family as the timed run)
+    table.merge(changes.filter(f"lsn < {cut}"))
+
+    if path_kind == "window":
+        batch = changes.filter(f"lsn >= {cut}")
+        t0 = time.perf_counter()
+        res = table.merge(batch)
+        sec = time.perf_counter() - t0
+        extra = {}
+    else:
+        wal_dir = os.path.join(workdir, f"wal-{run_id}")
+        t0 = time.perf_counter()
+        write_bucketed_wal(
+            changes.filter(f"lsn >= {cut}"), wal_dir, NB,
+            ["conv_id", "turn_idx"],
+        )
+        wal_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = table.merge_prebucketed(spark, wal_dir)
+        sec = time.perf_counter() - t0
+        extra = {"wal_write_sec": round(wal_sec, 3)}
+    print(json.dumps({
+        "path": path_kind, "cpus": CPUS, "apply_sec": round(sec, 3),
+        "events_per_sec": round(n_tail / sec, 1),
+        "rows": res.rows_inserted + res.rows_updated + res.rows_noop,
+        **extra,
+    }))
+    spark.stop()
+
+
+def generate(stream_dir: str) -> None:
+    from oregonwaterdataportal_etl_spark.cdc import generate_changes
+    from oregonwaterdataportal_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="zx-gen", master="local[32]")
+    generate_changes(
+        spark, EVENTS, CONVS, seed=42, zipf_a=1.1, partitions=128
+    ).write.mode("overwrite").parquet(stream_dir)
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "worker":
+        worker(sys.argv[2], sys.argv[3], sys.argv[4])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "generate":
+        generate(sys.argv[2])
+        return
+
+    workdir = tempfile.mkdtemp(prefix="bench_zx_")
+    stream_dir = os.path.join(workdir, "stream")
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run_stage(args: list[str]) -> str:
+        tag = "_".join(args[:2]).replace("/", "_")
+        out_path = os.path.join(workdir, f"out-{tag}.log")
+        with open(out_path, "w") as out_f:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *args],
+                stdout=out_f, stderr=subprocess.DEVNULL, check=True, cwd=here,
+                env={**os.environ, "ZX_EVENTS": str(EVENTS), "ZX_CPUS": str(CPUS)},
+            )
+        with open(out_path) as f:
+            lines = [l for l in f.read().splitlines() if l.startswith("{")]
+        return lines[-1] if lines else "{}"
+
+    run_stage(["generate", stream_dir])
+    out = {"metric": "zero_exchange_merge_ab", "events": EVENTS,
+           "tail_events": EVENTS - int(EVENTS * 15 / 16), "cpus": CPUS,
+           "num_buckets": NB, "repeats": REPEATS}
+    rows_ref = None
+    for kind in ("window", "prebucketed"):
+        runs = [
+            json.loads(run_stage(["worker", kind, stream_dir, workdir]))
+            for _ in range(REPEATS)
+        ]
+        best = min(runs, key=lambda r: r["apply_sec"])
+        out[f"{kind}_apply_sec"] = best["apply_sec"]
+        out[f"{kind}_events_per_sec"] = best["events_per_sec"]
+        out[f"{kind}_all"] = [r["apply_sec"] for r in runs]
+        if "wal_write_sec" in best:
+            out["wal_write_sec"] = best["wal_write_sec"]
+        if rows_ref is None:
+            rows_ref = best["rows"]
+        assert rows_ref == best["rows"], "paths disagree on merged rows"
+    out["prebucketed_vs_window"] = round(
+        out["window_apply_sec"] / out["prebucketed_apply_sec"], 3
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

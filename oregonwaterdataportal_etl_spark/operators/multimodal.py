@@ -57,15 +57,18 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       (pngcodec.py);
     - image/bmp (uncompressed BI_RGB 24/32-bit) -> same histogram
       (bmpcodec.py);
+    - image/jpeg baseline sequential (SOF0/SOF1, incl. 4:2:0/4:2:2
+      subsampling and restart markers) -> same histogram (jpegcodec.py);
     - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
       (wavcodec.py, numpy FFT).
     Other image/audio/video mimes (and payloads the minimal codecs
     can't parse: palette/interlaced/16-bit PNG, RLE/paletted BMP,
-    non-PCM WAV, truncated blobs): deterministic sha256-derived fake
-    features, decoded=False — the documented STUB; swap for
-    PIL/ffmpeg/librosa on a real cluster. The flag makes the fallback
-    filterable instead of silent."""
+    PROGRESSIVE jpeg, non-PCM WAV, truncated blobs): deterministic
+    sha256-derived fake features, decoded=False — the documented STUB;
+    swap for PIL/ffmpeg/librosa on a real cluster. The flag makes the
+    fallback filterable instead of silent."""
     from .bmpcodec import BMP_MAGIC, decode_bmp
+    from .jpegcodec import JPEG_MAGIC, decode_jpeg
     from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
     from .wavcodec import WAV_MAGIC, decode_wav, log_spectrum_feature
 
@@ -74,6 +77,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
             return luminance_histogram(decode_png(payload), bins=32), True
         if mime in ("image/bmp", "image/x-ms-bmp") and payload.startswith(BMP_MAGIC):
             return luminance_histogram(decode_bmp(payload), bins=32), True
+        if mime in ("image/jpeg", "image/jpg") and payload.startswith(JPEG_MAGIC):
+            return luminance_histogram(decode_jpeg(payload), bins=32), True
         if mime in ("audio/wav", "audio/x-wav", "audio/wave") and payload.startswith(
             WAV_MAGIC
         ):
@@ -126,12 +131,13 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize over Arrow batches. image/png and image/bmp: REAL
-    nearest-neighbor resize via the in-tree codecs (decode -> resize ->
-    re-encode, staying in the source format). Other mimes still raise
-    (PIL territory); 'application/x-test' passes through for plumbing
-    tests."""
+    """Image resize over Arrow batches. image/png, image/bmp and
+    baseline image/jpeg: REAL nearest-neighbor resize via the in-tree
+    codecs (decode -> resize -> re-encode, staying in the source
+    format). Other mimes still raise (PIL territory);
+    'application/x-test' passes through for plumbing tests."""
     from .bmpcodec import BMP_MAGIC, decode_bmp, encode_bmp
+    from .jpegcodec import JPEG_MAGIC, decode_jpeg, encode_jpeg
     from .pngcodec import PNG_MAGIC, decode_png, encode_png, resize_nearest
 
     def run(batches):
@@ -148,6 +154,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 ).startswith(BMP_MAGIC):
                     arr = resize_nearest(decode_bmp(bytes(p)), width, height)
                     out.append(encode_bmp(arr))
+                elif m in ("image/jpeg", "image/jpg") and p is not None and bytes(
+                    p
+                ).startswith(JPEG_MAGIC):
+                    arr = resize_nearest(decode_jpeg(bytes(p)), width, height)
+                    out.append(encode_jpeg(arr))
                 else:
                     raise NotImplementedError(
                         "resize for this mime requires PIL; not available here"

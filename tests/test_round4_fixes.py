@@ -331,3 +331,56 @@ def test_watermark_legacy_vdir_swept_after_supersession(spark, tmp_path):
         ws.update(spark.createDataFrame([("c1", hi)], "conv_id string, wm int"))
     assert {r["wm"] for r in ws.read(spark).collect()} == {11}
     assert not os.path.isdir(os.path.join(store, legacy)), "legacy v- dir leaked"
+
+
+# ------------------------------------------------ baseline JPEG codec
+def test_jpeg_codec_roundtrip_and_features(spark):
+    """Real in-tree baseline JPEG: encode->decode agrees within JPEG
+    loss (MAE < 2 on a smooth gradient at q90), extract_features marks
+    baseline JPEGs decoded=True with the shared luminance histogram,
+    resize_images resizes for real, and PROGRESSIVE payloads fall back
+    to the flagged stub instead of a fake decode."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators import multimodal
+    from oregonwaterdataportal_etl_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from oregonwaterdataportal_etl_spark.operators.pngcodec import (
+        luminance_histogram,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    jpg = encode_jpeg(rgb, quality=90)
+    dec = decode_jpeg(jpg)
+    assert dec.shape == rgb.shape
+    assert float(np.abs(dec.astype(int) - rgb.astype(int)).mean()) < 2.0
+    # grayscale source, odd dimensions (edge-extend padding path)
+    gray = ((xx + yy) * 2 % 256).astype(np.uint8)[:17, :23]
+    decg = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert decg.shape == (17, 23, 3)
+    assert float(np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).mean()) < 2.0
+
+    progressive = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9"
+    media = spark.createDataFrame(
+        [
+            (1, "image/jpeg", jpg, {}),
+            (2, "image/jpeg", progressive, {}),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["decoded"] is True
+    assert np.allclose(
+        feats[1]["feature"], luminance_histogram(decode_jpeg(jpg), bins=32)
+    )
+    assert feats[2]["decoded"] is False  # progressive -> flagged stub
+
+    resized = multimodal.resize_images(
+        media.filter("media_id = 1"), width=16, height=8
+    ).collect()[0]["payload"]
+    assert decode_jpeg(bytes(resized)).shape == (8, 16, 3)
