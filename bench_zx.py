@@ -35,6 +35,26 @@ REPEATS = int(os.environ.get("ZX_REPEATS", "2"))
 NB = CPUS * 4
 
 
+def _shuffle_bytes(spark) -> int:
+    """Total shuffle-WRITE bytes of the application so far, from the
+    local UI REST API — the actual wire-byte evidence for the
+    zero-exchange claim (local wall-clock alone understates it: a
+    single box shuffles through DRAM, a cluster through the network)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
 def worker(path_kind: str, stream_dir: str, workdir: str) -> None:
     import uuid
 
@@ -43,7 +63,8 @@ def worker(path_kind: str, stream_dir: str, workdir: str) -> None:
     from oregonwaterdataportal_etl_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"zx-{path_kind}", master=f"local[{CPUS}]", shuffle_partitions=NB
+        app_name=f"zx-{path_kind}", master=f"local[{CPUS}]", shuffle_partitions=NB,
+        extra_conf={"spark.ui.enabled": "true"},  # shuffle-byte evidence
     )
     run_id = uuid.uuid4().hex[:8]
     cut = int(EVENTS * 15 / 16)
@@ -59,10 +80,11 @@ def worker(path_kind: str, stream_dir: str, workdir: str) -> None:
 
     if path_kind == "window":
         batch = changes.filter(f"lsn >= {cut}")
+        sb0 = _shuffle_bytes(spark)
         t0 = time.perf_counter()
         res = table.merge(batch)
         sec = time.perf_counter() - t0
-        extra = {}
+        extra = {"apply_shuffle_bytes": _shuffle_bytes(spark) - sb0}
     else:
         wal_dir = os.path.join(workdir, f"wal-{run_id}")
         t0 = time.perf_counter()
@@ -71,10 +93,14 @@ def worker(path_kind: str, stream_dir: str, workdir: str) -> None:
             ["conv_id", "turn_idx"],
         )
         wal_sec = time.perf_counter() - t0
+        sb0 = _shuffle_bytes(spark)
         t0 = time.perf_counter()
         res = table.merge_prebucketed(spark, wal_dir)
         sec = time.perf_counter() - t0
-        extra = {"wal_write_sec": round(wal_sec, 3)}
+        extra = {
+            "wal_write_sec": round(wal_sec, 3),
+            "apply_shuffle_bytes": _shuffle_bytes(spark) - sb0,
+        }
     print(json.dumps({
         "path": path_kind, "cpus": CPUS, "apply_sec": round(sec, 3),
         "events_per_sec": round(n_tail / sec, 1),
@@ -134,6 +160,7 @@ def main() -> None:
         out[f"{kind}_apply_sec"] = best["apply_sec"]
         out[f"{kind}_events_per_sec"] = best["events_per_sec"]
         out[f"{kind}_all"] = [r["apply_sec"] for r in runs]
+        out[f"{kind}_apply_shuffle_bytes"] = best.get("apply_shuffle_bytes")
         if "wal_write_sec" in best:
             out["wal_write_sec"] = best["wal_write_sec"]
         if rows_ref is None:

@@ -1729,7 +1729,16 @@ class LakeTable:
                 ).withColumnRenamed("__cand", "__cand_b")
 
             if base_side is not None:
-                joined = upd_side.join(base_side, on=key_cols, how="full_outer")
+                # SHUFFLE_HASH on the deduped batch (build side): with
+                # both scans reporting the same HashPartitioning, the
+                # planner uses a no-shuffle ShuffledHashJoin — unlike
+                # sort-merge, it needs NO per-task sorts either (the
+                # batch hashes into memory, the base streams). Full
+                # outer hash join is supported since Spark 3.1; build
+                # memory is one bucket's deduped batch slice.
+                joined = upd_side.hint("SHUFFLE_HASH").join(
+                    base_side, on=key_cols, how="full_outer"
+                )
                 winner = F.greatest("__cand_u", "__cand_b")
                 base_side_present = F.col("__cand_b").isNotNull()
             else:
