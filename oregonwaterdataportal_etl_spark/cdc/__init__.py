@@ -3,7 +3,7 @@ from .offsets import OffsetLog
 from .manifests import ManifestLog
 from .apply import lww_dedup, apply_batch, oracle_fold
 from .runner import CdcRunner
-from .source import LsnRangedParquetSource
+from .source import BucketedWalSource, LsnRangedParquetSource
 from .watermarks import WatermarkStore
 
 __all__ = [
@@ -18,4 +18,5 @@ __all__ = [
     "oracle_fold",
     "CdcRunner",
     "LsnRangedParquetSource",
+    "BucketedWalSource",
 ]

@@ -112,11 +112,7 @@ class CdcRunner:
         # merge(), and the loser's orphaned write dir is age-gated
         # vacuum-safe. Safe to repeat — the LSN guard makes a replayed
         # merge a no-op for rows the winner already applied.
-        result = self._with_commit_retry(
-            lambda: self.table.merge(
-                batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
-            )
-        )
+        result = self._with_commit_retry(lambda: self._apply(batch, lsn_lo, lsn_hi))
         self.manifests.commit(batch_id, result.as_dict())
         self.offsets.commit(lsn_hi, batch_id)
         if self.compact_every:
@@ -141,6 +137,38 @@ class CdcRunner:
                     self._with_commit_retry(lambda ix=ix: ix.refresh_if_stale(spark))
                 self._windows_since_compact = 0
         return result
+
+    def _apply(self, batch: DataFrame, lsn_lo: int, lsn_hi: int) -> MergeResult:
+        """One window's merge. A ``prebucketed`` source (cdc.source.
+        BucketedWalSource — a change log written in the table's own
+        bucketed layout) routes cow windows through the ZERO-EXCHANGE
+        ``merge_prebucketed`` path: footer-pruned window files hardlink
+        into a bucket-layout dir, and the resolve runs with no shuffle
+        at all (DESIGN.md §11). Falls back to the ordinary window
+        resolve when the mode is mor (deltas are not bucket-registrable)
+        or the table carries pending deltas (e.g. the runner switched
+        from mor to cow before a compact)."""
+        use_zx = (
+            getattr(self.source, "prebucketed", False)
+            and self.mode == "cow"
+            and not self.table.snapshot().get("deltas")
+        )
+        if use_zx:
+            reg = self.source.pruned_dir(lsn_lo, lsn_hi)
+            if reg is not None:
+                import shutil
+
+                try:
+                    return self.table.merge_prebucketed(
+                        self.source.spark, reg,
+                        op_col=self.op_col, lsn_col=self.lsn_col,
+                        lsn_range=(lsn_lo, lsn_hi),
+                    )
+                finally:
+                    shutil.rmtree(reg, ignore_errors=True)
+        return self.table.merge(
+            batch, op_col=self.op_col, lsn_col=self.lsn_col, mode=self.mode,
+        )
 
     def _with_commit_retry(self, fn):
         """The shared lake.table.retry_on_conflict policy, bounded by

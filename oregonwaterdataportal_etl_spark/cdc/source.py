@@ -115,27 +115,77 @@ class LsnRangedParquetSource:
             out = hi if out is None else max(out, hi)
         return out
 
-    def __call__(self, lo: int | None = None, hi: int | None = None) -> DataFrame:
-        if lo is None and hi is None:
-            return self.spark.read.parquet(self.path)
-        keep, _total = self.files_for(lo, hi)
-        if not keep:
-            # empty window: preserve the schema without scanning data
-            return self.spark.read.parquet(self.path).filter(F.lit(False))
-        # the pruned read must return the SAME columns as the unpruned
-        # fallback (review finding): resolve the schema ONCE from the
-        # directory-level read (covers schema-evolving logs whose kept
-        # subset would infer narrower) and set basePath so
-        # hive-partition directory columns survive a file-subset read.
+    def _read_all(self) -> DataFrame:
+        """Directory-level read via the recursive file list + basePath:
+        equivalent to spark.read.parquet(dir) for flat and
+        hive-partitioned logs, and ALSO covers batch-subdirectory
+        layouts (bucketed WALs) that a plain directory read cannot see
+        (Spark does not walk non-partition subdirs)."""
+        files = self._files()
+        if not files:
+            return self.spark.read.parquet(self.path)  # propagate the error
+        return self.spark.read.option("basePath", self.path).parquet(*files)
+
+    def _dir_schema(self):
+        """Directory-level schema, cached by the file-set signature so
+        the pruned read pays inference once per log state."""
         sig = tuple(
             (f, self._stats[f][0], self._stats[f][1])
             for f in self._files()
             if f in self._stats
         )
         if self._schema_cache is None or self._schema_cache[0] != sig:
-            self._schema_cache = (sig, self.spark.read.parquet(self.path).schema)
+            self._schema_cache = (sig, self._read_all().schema)
+        return self._schema_cache[1]
+
+    def __call__(self, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        if lo is None and hi is None:
+            return self._read_all()
+        keep, _total = self.files_for(lo, hi)
+        if not keep:
+            # empty window: preserve the schema without scanning data
+            return self._read_all().filter(F.lit(False))
+        # the pruned read must return the SAME columns as the unpruned
+        # fallback (review finding): resolve the schema ONCE from the
+        # directory-level read (covers schema-evolving logs whose kept
+        # subset would infer narrower) and set basePath so
+        # hive-partition directory columns survive a file-subset read.
         return (
             self.spark.read.option("basePath", self.path)
-            .schema(self._schema_cache[1])
+            .schema(self._dir_schema())
             .parquet(*keep)
         )
+
+
+class BucketedWalSource(LsnRangedParquetSource):
+    """A change log written in the table's bucketed layout
+    (``lake.bucketed.write_bucketed_wal``): everything
+    LsnRangedParquetSource does (footer LSN pruning, metadata-only
+    max_lsn) PLUS the ``prebucketed`` capability flag that routes
+    CdcRunner windows through ``LakeTable.merge_prebucketed`` — the
+    zero-exchange steady-state apply.
+
+    ``pruned_dir(lo, hi)`` materializes the window's file subset as a
+    hardlink directory that preserves the Spark bucket-suffix names, so
+    the bucketed-table registration only sees the window's files — the
+    file-level pruning and the zero-exchange resolve compose."""
+
+    prebucketed = True
+
+    def pruned_dir(self, lo: int, hi: int) -> str | None:
+        """Hardlink the files intersecting [lo, hi] into a fresh dir
+        (bucket-suffix names preserved). None = no files in range.
+        Caller removes the dir after the merge completes.
+
+        The dir lives INSIDE the WAL under a dot-prefixed name: same
+        filesystem (hardlinks cannot cross mounts) and invisible to
+        ``_files()``/``spark.read`` (both skip dot-entries)."""
+        import tempfile
+
+        keep, _total = self.files_for(lo, hi)
+        if not keep:
+            return None
+        d = tempfile.mkdtemp(prefix=".walwin-", dir=self.path)
+        for f in keep:
+            os.link(f, os.path.join(d, os.path.basename(f)))
+        return d

@@ -50,23 +50,51 @@ def bucket_id_of(filename: str) -> int | None:
 
 def write_bucketed_wal(
     df: DataFrame, path: str, num_buckets: int, key_cols: list[str]
-) -> None:
+) -> str:
     """Append a change batch to ``path`` in Spark's native bucketed
     layout (bucket function = the engine's own layout function). The
     repartition aligns tasks with buckets so each append lands ONE file
     per touched bucket instead of tasks x buckets fragments. This is
     the WAL producer's (one-time, off-merge-path) shuffle; the payoff
-    is every downstream merge reading it exchange-free."""
+    is every downstream merge reading it exchange-free.
+
+    Each append lands in its OWN ``batch-<hex>/`` subdirectory:
+    saveAsTable under a fresh table name treats a shared location as
+    CTAS and CLOBBERS earlier files (observed on Spark 4.1), and a
+    stable catalog name would not survive other sessions appending.
+    Readers (BucketedWalSource, merge_prebucketed, wal_touched_buckets)
+    scan the WAL recursively and re-link files flat before registering,
+    so the nesting is invisible to them. Returns the batch subdir."""
     spark = df.sparkSession
     name = f"wal_write_{uuid.uuid4().hex[:8]}"
+    batch_dir = os.path.join(os.path.abspath(path), f"batch-{uuid.uuid4().hex[:12]}")
     (
         df.repartition(num_buckets, *[F.col(c) for c in key_cols])
         .write.bucketBy(num_buckets, *key_cols)
-        .mode("append")
-        .option("path", os.path.abspath(path))
+        .option("path", batch_dir)
         .saveAsTable(name)
     )
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    return batch_dir
+
+
+def collect_wal_files(path: str) -> dict[str, list[str]]:
+    """{bucket_id: [files]} from a recursive scan of a bucketed WAL
+    (skipping _/.-prefixed writer debris) — file names only, no Spark
+    job. Accepts both flat dirs and batch-subdir layouts."""
+    out: dict[str, list[str]] = {}
+    for root, _dirs, names in os.walk(path):
+        rel = os.path.relpath(root, path)
+        parts = [] if rel == "." else rel.split(os.sep)
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue
+        for n in sorted(names):
+            if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                continue
+            b = bucket_id_of(n)
+            if b is not None:
+                out.setdefault(str(b), []).append(os.path.join(root, n))
+    return out
 
 
 def register_bucketed_table(
@@ -120,20 +148,18 @@ def link_files_bucketed(
         if buckets is not None and int(b) not in buckets:
             continue
         for f in flist:
-            os.link(
-                f, os.path.join(reg_dir, f"part-{n:05d}-link_{int(b):05d}.parquet")
-            )
+            dst = os.path.join(reg_dir, f"part-{n:05d}-link_{int(b):05d}.parquet")
+            try:
+                os.link(f, dst)
+            except OSError:
+                # EXDEV (source on another filesystem): a symlink still
+                # registers fine for local reads
+                os.symlink(os.path.abspath(f), dst)
             n += 1
     return n
 
 
 def wal_touched_buckets(path: str) -> list[int]:
-    """Buckets present in a bucketed WAL directory — file names only,
-    no Spark job (the merge's partition-pruning input)."""
-    out: set[int] = set()
-    for entry in os.listdir(path):
-        if entry.endswith(".parquet") and not entry.startswith(("_", ".")):
-            b = bucket_id_of(entry)
-            if b is not None:
-                out.add(b)
-    return sorted(out)
+    """Buckets present in a bucketed WAL directory (recursive) — file
+    names only, no Spark job (the merge's partition-pruning input)."""
+    return sorted(int(b) for b in collect_wal_files(path))

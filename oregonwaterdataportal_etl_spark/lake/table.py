@@ -1583,7 +1583,8 @@ class LakeTable:
                 "table has pending merge-on-read deltas; compact() before "
                 "merge_prebucketed (deltas are not bucket-registrable)"
             )
-        touched = B.wal_touched_buckets(source_path)
+        wal_files = B.collect_wal_files(source_path)
+        touched = sorted(int(b) for b in wal_files)
         if not touched:
             return MergeResult(version=snap["version"])
         if touched[-1] >= n_buckets:
@@ -1591,7 +1592,9 @@ class LakeTable:
                 f"WAL bucket id {touched[-1]} >= table num_buckets "
                 f"{n_buckets}: the log was bucketed with a different spec"
             )
-        wal_schema = spark.read.parquet(source_path).schema
+        wal_schema = spark.read.parquet(
+            *[f for fl in wal_files.values() for f in fl]
+        ).schema
         stored_fields = {
             f.name: f.dataType
             for f in T.StructType.fromJson(json.loads(snap["schema"])).fields
@@ -1615,8 +1618,13 @@ class LakeTable:
         reg_root = os.path.join(self.path, "_bucketed", f"reg-{uuid.uuid4().hex}")
         tables: list[str] = []
         try:
+            # normalize ANY WAL layout (flat, batch-subdirs, pruned
+            # link dirs) into one flat hardlink dir for registration —
+            # catalog bucketed tables do not walk non-partition subdirs
+            wal_dir = os.path.join(reg_root, "wal")
+            B.link_files_bucketed(wal_files, wal_dir)
             wal_name = B.register_bucketed_table(
-                spark, wal_schema, source_path, key_cols, n_buckets
+                spark, wal_schema, wal_dir, key_cols, n_buckets
             )
             tables.append(wal_name)
             upd = spark.table(wal_name)

@@ -172,3 +172,60 @@ def test_prebucketed_rejects_bad_layouts(spark, tmp_path):
     write_bucketed_wal(narrow, waln, NB, KEYS)
     with pytest.raises(ValueError, match="stored key types|stores"):
         t2.merge_prebucketed(spark, waln)
+
+
+def test_runner_uses_zero_exchange_path_over_bucketed_wal(spark, tmp_path):
+    """A CdcRunner tailing a BucketedWalSource applies cow windows
+    through merge_prebucketed: exactly-once across crash/resume, replay
+    no-op, final state == clean one-shot merge — and every window's
+    snapshot records operation=merge-prebucketed (the zero-exchange
+    path actually ran, not the fallback)."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        BucketedWalSource,
+        CdcRunner,
+        ManifestLog,
+        OffsetLog,
+    )
+
+    n = 6000
+    stream = _stream(spark, n, seed=81).localCheckpoint()
+    wal = str(tmp_path / "wal")
+    # two producer appends -> multiple files per bucket in one log
+    write_bucketed_wal(stream.filter("lsn < 3000"), wal, NB, KEYS)
+    write_bucketed_wal(stream.filter("lsn >= 3000"), wal, NB, KEYS)
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    def mk_runner():
+        return CdcRunner(
+            table,
+            OffsetLog(str(tmp_path / "off"), "s1"),
+            ManifestLog(str(tmp_path / "man")),
+            source=BucketedWalSource(spark, wal),
+            mode="cow",
+        )
+
+    r1 = mk_runner()
+    first = r1.run_window(0, 1999)
+    assert first is not None
+    # "crash": new runner resumes and drains the rest
+    r2 = mk_runner()
+    results = r2.run_available(window_size=2000)
+    assert len(results) == 2
+    assert r2.offsets.last_lsn() == n - 1
+    assert r2.run_window(0, 1999) is None  # committed replay no-op
+    ops = [
+        s.get("summary", {}).get("operation")
+        for s in table.history()
+        if s["version"] > 0
+    ]
+    assert ops == ["merge-prebucketed"] * 3, ops
+
+    clean = LakeTable.create(
+        str(tmp_path / "clean"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    clean.merge(stream)
+    assert _state(spark, table) == _state(spark, clean)
+    # the pruned-window hardlink dirs are cleaned up
+    assert not [e for e in os.listdir(wal) if e.startswith(".walwin-")]
