@@ -105,6 +105,7 @@ def register_bucketed_table(
     num_buckets: int,
     name: str | None = None,
     partition_col: str | None = None,
+    if_not_exists: bool = False,
 ) -> str:
     """Register ``location`` as an external bucketed parquet table and
     return the (session-scoped) table name. Caller drops it with
@@ -123,8 +124,9 @@ def register_bucketed_table(
     )
     keys = ", ".join(f"`{c}`" for c in key_cols)
     part = f"PARTITIONED BY (`{partition_col}`) " if partition_col else ""
+    ine = "IF NOT EXISTS " if if_not_exists else ""
     spark.sql(
-        f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+        f"CREATE TABLE {ine}`{name}` ({cols}) USING PARQUET "
         f"{part}"
         f"CLUSTERED BY ({keys}) INTO {num_buckets} BUCKETS "
         f"LOCATION '{os.path.abspath(location)}'"

@@ -229,3 +229,45 @@ def test_runner_uses_zero_exchange_path_over_bucketed_wal(spark, tmp_path):
     assert _state(spark, table) == _state(spark, clean)
     # the pruned-window hardlink dirs are cleaned up
     assert not [e for e in os.listdir(wal) if e.startswith(".walwin-")]
+
+
+def test_bucketed_mor_read_matches_window_read(spark, tmp_path):
+    """Zero-exchange serving read: a MOR table with base rows,
+    multiple delta batches, deletes AND tombstones resolves identically
+    via read(resolve='bucketed') and the window path — and the bucketed
+    plan contains no Exchange. Repeated reads reuse one registration
+    dir per snapshot version."""
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    b1 = _stream(spark, 2500, seed=91).localCheckpoint()
+    b2 = _stream(spark, 1500, seed=92, lsn_start=2500).localCheckpoint()
+    b3 = _stream(spark, 1500, seed=93, lsn_start=4000).localCheckpoint()
+    t.merge(b1)  # cow: base files + tombstones from b1's deletes
+    assert t.stats()["tombstone_files"] > 0
+    t.merge(b2, mode="mor")
+    t.merge(b3, mode="mor")
+    assert t.stats()["delta_files"] > 0
+
+    win = t.read(spark)
+    zx = t.read(spark, resolve="bucketed")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    got = sorted(map(tuple, zx.select(*cols).collect()))
+    want = sorted(map(tuple, win.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    plan = zx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+
+    # second read of the same version reuses the registration dir
+    t.read(spark, resolve="bucketed").count()
+    regs = [
+        e for e in os.listdir(os.path.join(str(tmp_path / "t"), "_bucketed"))
+        if e.startswith("read-v")
+    ]
+    assert len(regs) == 1, regs
+    # column projection sugar works on the bucketed path too
+    assert sorted(
+        t.read(spark, resolve="bucketed", columns=["conv_id", "text"]).columns
+    ) == ["conv_id", "text"]
