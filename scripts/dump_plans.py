@@ -65,12 +65,44 @@ def resolve_plan(spark, tmp):
     return t._resolve(base_tagged, upd_tagged, ["conv_id", "turn_idx"], 4)
 
 
+def zero_exchange_plan(spark, tmp) -> str:
+    """merge_prebucketed's resolve over a bucketed WAL + base +
+    tombstones: zero Exchange, zero sorts (ShuffledHashJoin)."""
+    from oregonwaterdataportal_etl_spark.lake.bucketed import write_bucketed_wal
+
+    t = LakeTable.create(
+        os.path.join(tmp, "zx"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        generate_changes_pdf(2000, 100, seed=3, delete_rate=0.1)
+    ).localCheckpoint()
+    b2 = spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=4)
+    ).withColumn("lsn", F.col("lsn") + 2000).localCheckpoint()
+    w1, w2 = os.path.join(tmp, "w1"), os.path.join(tmp, "w2")
+    write_bucketed_wal(b1, w1, 4, ["conv_id", "turn_idx"])
+    write_bucketed_wal(b2, w2, 4, ["conv_id", "turn_idx"])
+    t.merge_prebucketed(spark, w1)
+    plans = []
+    t.merge_prebucketed(spark, w2, _plan_out=plans)
+    return plans[0]
+
+
 def main() -> None:
     import tempfile
 
     spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=4)
     tmp = tempfile.mkdtemp(prefix="plansdump_")
     sections = [
+        (
+            "Zero-exchange pre-bucketed merge resolve (round 4)",
+            "batch LWW dedup window + full-outer SHUFFLE_HASH join against "
+            "base+tombstones, all from catalog bucketed scans: NO Exchange, "
+            "NO per-task sorts. Pinned by "
+            "test_prebucketed_plan_has_zero_exchanges",
+            zero_exchange_plan(spark, tmp),
+        ),
         (
             "CDC merge resolve (the one exchange)",
             "union(base+tombstones, updates) -> ONE repartition on the keys "

@@ -271,3 +271,21 @@ def test_bucketed_mor_read_matches_window_read(spark, tmp_path):
     assert sorted(
         t.read(spark, resolve="bucketed", columns=["conv_id", "text"]).columns
     ) == ["conv_id", "text"]
+
+
+def test_vacuum_sweeps_orphaned_registration_dirs(spark, tmp_path):
+    """A registration dir orphaned by a crashed merge_prebucketed (or a
+    superseded read registration) is grace-swept by vacuum; a fresh one
+    inside the grace window survives."""
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    t.merge(_stream(spark, 500, seed=95))
+    breg = os.path.join(str(tmp_path / "t"), "_bucketed")
+    os.makedirs(os.path.join(breg, "reg-deadbeef"))
+    with open(os.path.join(breg, "reg-deadbeef", "x"), "w") as f:
+        f.write("orphan")
+    t.vacuum(keep_last=1, orphan_grace_seconds=3600.0)
+    assert os.path.isdir(os.path.join(breg, "reg-deadbeef")), "fresh reg swept"
+    t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert not os.path.isdir(os.path.join(breg, "reg-deadbeef"))
