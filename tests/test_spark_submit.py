@@ -84,3 +84,59 @@ def test_spark_submit_py_files_applies_stream(spark, tmp_path):
     mm = json.loads(lines2[-1])
     assert mm["rows_base"] == m["rows_final"]
     assert mm["base_files_after"] <= max(mm["base_files_before"], 1)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_bucketed_wal_zero_exchange(spark, tmp_path):
+    """--bucketed-wal: the packaged job tails a bucketed-layout change
+    log and every applied window goes through the zero-exchange
+    merge_prebucketed path (snapshot operation labels prove it)."""
+    sys.path.insert(0, REPO)
+    from oregonwaterdataportal_etl_spark.cdc import generate_changes
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from oregonwaterdataportal_etl_spark.lake.bucketed import write_bucketed_wal
+
+    from package import build
+
+    wal = str(tmp_path / "wal")
+    # the job creates its table with num_buckets=16: the WAL must match
+    write_bucketed_wal(
+        generate_changes(spark, n_events=4000, n_convs=100, seed=5),
+        wal, 16, ["conv_id", "turn_idx"],
+    )
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_log = tmp_path / "out.log"
+    with open(out_log, "w") as out:
+        subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "apply_changes.py"),
+                wal,
+                str(tmp_path / "table"),
+                str(tmp_path / "offsets"),
+                str(tmp_path / "manifests"),
+                "2000",
+                "--bucketed-wal",
+            ],
+            cwd=str(tmp_path),
+            env=env,
+            stdout=out,
+            stderr=subprocess.DEVNULL,
+            check=True,
+            timeout=300,
+        )
+    lines = [l for l in out_log.read_text().splitlines() if l.startswith("{")]
+    m = json.loads(lines[-1])
+    assert m["windows_applied"] == 2 and m["final_offset"] == 3999
+    ops = [
+        s.get("summary", {}).get("operation")
+        for s in LakeTable(str(tmp_path / "table")).history()
+        if s["version"] > 0
+    ]
+    assert ops == ["merge-prebucketed"] * 2, ops
