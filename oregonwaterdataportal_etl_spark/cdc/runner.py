@@ -144,14 +144,15 @@ class CdcRunner:
         bucketed layout) routes cow windows through the ZERO-EXCHANGE
         ``merge_prebucketed`` path: footer-pruned window files hardlink
         into a bucket-layout dir, and the resolve runs with no shuffle
-        at all (DESIGN.md §11). Falls back to the ordinary window
-        resolve when the mode is mor (deltas are not bucket-registrable)
-        or the table carries pending deltas (e.g. the runner switched
-        from mor to cow before a compact)."""
+        at all (DESIGN.md §11). Pending MOR deltas fold into the
+        zero-exchange resolve (they live one-bucket-per-file and
+        register into the same bucketed table — _zx_base_tomb_side), so
+        a runner switching from mor to cow needs no compact() first;
+        only mor-mode windows themselves fall back to the ordinary
+        append path."""
         use_zx = (
             getattr(self.source, "prebucketed", False)
             and self.mode == "cow"
-            and not self.table.snapshot().get("deltas")
         )
         if use_zx:
             reg = self.source.pruned_dir(lsn_lo, lsn_hi)

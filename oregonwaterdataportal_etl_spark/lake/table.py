@@ -1648,19 +1648,26 @@ class LakeTable:
 
     # ---------------------------------------- zero-exchange machinery
     @staticmethod
-    def _zx_cand(df, src: int, lsn_expr, op_expr, t1, t2,
-                 key_cols: list[str], nonkey: list) -> DataFrame:
+    def _zx_cand(df, src, lsn_expr, op_expr, t1, t2,
+                 key_cols: list[str], nonkey: list,
+                 extra: tuple = ()) -> DataFrame:
         """One side's per-key candidate struct: rank fields FIRST so a
         single greatest() applies the exact _resolve total order —
         (lsn, tb1, tb2, -src); struct comparison treats null fields as
-        smallest, matching desc_nulls_last."""
+        smallest, matching desc_nulls_last. ``src`` is an int for a
+        homogeneous side or a Column of per-row src values (the
+        delta-folding base side mixes src=0 b/t rows with src=1 delta
+        rows); ``extra`` columns ride OUTSIDE the struct (they carry
+        side metadata like __had_bt that must not perturb the
+        greatest() comparison)."""
+        ns = (F.lit(-src) if isinstance(src, int) else -src)
         return df.select(
             *[F.col(c) for c in key_cols],
             F.struct(
                 lsn_expr.cast("long").alias("l"),
                 t1.cast("long").alias("t1"),
                 t2.cast("long").alias("t2"),
-                F.lit(-src).cast("int").alias("ns"),
+                ns.cast("int").alias("ns"),
                 op_expr.cast("tinyint").alias("op"),
                 *[
                     (
@@ -1671,21 +1678,37 @@ class LakeTable:
                     for f in nonkey
                 ],
             ).alias("__cand"),
+            *extra,
         )
 
     def _zx_base_tomb_side(
         self, spark, snap: dict, touched: list[int], reg_root: str,
         tables: list[str], key_cols: list[str], nonkey: list,
     ) -> DataFrame | None:
-        """Base rows and tombstones (DISJOINT key sets) registered as
-        ONE bucketed table partitioned by a side= directory column — a
-        second full-outer join would coalesce the first join's key
+        """Base rows, tombstones AND pending MOR delta files registered
+        as ONE bucketed table partitioned by a side= directory column —
+        a second full-outer join would coalesce the first join's key
         columns, hiding their partitioning from Catalyst and forcing an
         exchange (measured, then fixed with this single-table design).
         Stored schema derives from the PINNED snap (no CURRENT re-read
         racing a concurrent commit); evolved columns the files lack
         null-fill through _zx_cand's missing-column arm. Returns the
-        candidate-struct side, or None for an empty table."""
+        candidate-struct side, or None for an empty table.
+
+        Delta folding (side=d): touched buckets' merge-on-read deltas
+        are just more already-committed updates, so they fold into this
+        copy-on-write merge exactly as merge() folds them — but with
+        ZERO exchange: deltas were written one-bucket-per-file, so they
+        register into the same bucketed table. Base/tomb keys are
+        disjoint but deltas overlap both and repeat per key, so the
+        combined side is pre-deduped to one row per key by a window
+        whose clustering the bucketed scan already satisfies, ordered
+        by the exact _resolve total order (lsn desc, limbs
+        desc_nulls_last, src asc — base beats batch on a full tie).
+        __had_bt preserves merge()'s __all_chg semantics (min(__src)
+        over b/t rows only): a delta-only key still counts as
+        all-changed, keeping insert-vs-update / delete-vs-dropped
+        metrics identical to the window path."""
         from . import bucketed as B
 
         stored = T.StructType(
@@ -1704,15 +1727,28 @@ class LakeTable:
             for b, fl in snap.get("tombstones", {}).items()
             if int(b) in touched
         }
-        if not base_files and not tomb_files:
+        delta_files = {
+            b: fl
+            for b, fl in snap.get("deltas", {}).items()
+            if int(b) in touched
+        }
+        if not base_files and not tomb_files and not delta_files:
             return None
         bt_dir = os.path.join(reg_root, "basetomb")
         if base_files:
             B.link_files_bucketed(base_files, os.path.join(bt_dir, "side=b"))
         if tomb_files:
             B.link_files_bucketed(tomb_files, os.path.join(bt_dir, "side=t"))
+        if delta_files:
+            B.link_files_bucketed(delta_files, os.path.join(bt_dir, "side=d"))
         part_schema = T.StructType(
-            list(stored.fields) + [T.StructField("side", T.StringType())]
+            list(stored.fields)
+            + [
+                # delta files carry an op column; base/tomb files lack
+                # it and null-fill (parquet by-name resolution)
+                T.StructField(_OP_COL, T.StringType(), True),
+                T.StructField("side", T.StringType()),
+            ]
         )
         bt_name = B.register_bucketed_table(
             spark, part_schema, bt_dir, key_cols, snap["num_buckets"],
@@ -1720,12 +1756,42 @@ class LakeTable:
         )
         tables.append(bt_name)
         spark.sql(f"ALTER TABLE `{bt_name}` RECOVER PARTITIONS")
+        bt = spark.table(bt_name)
+        op_expr = (
+            F.when(F.col("side") == "t", F.lit(_OP_TOMBSTONE))
+            .when(F.col("side") == "d", _op_code(F.col(_OP_COL)))
+            .otherwise(F.lit(_OP_BASE))
+        )
+        if not delta_files:
+            return self._zx_cand(
+                bt, 0, F.col(LSN_COL), op_expr,
+                F.col(_TB1_COL), F.col(_TB2_COL), key_cols, nonkey,
+                extra=(F.lit(True).alias("__had_bt"),),
+            ).withColumnRenamed("__cand", "__cand_b")
+        src = F.when(F.col("side") == "d", F.lit(1)).otherwise(F.lit(0))
+        kh = F.xxhash64(*[F.col(c) for c in key_cols])
+        pb = [kh, *[F.col(c) for c in key_cols]]
+        w = Window.partitionBy(*pb).orderBy(
+            F.desc(LSN_COL),
+            F.col(_TB1_COL).desc_nulls_last(),
+            F.col(_TB2_COL).desc_nulls_last(),
+            src.asc(),
+        )
+        bt1 = (
+            bt.select(
+                "*",
+                F.row_number().over(w).alias("__rn"),
+                F.max(F.col("side") != "d")
+                .over(Window.partitionBy(*pb))
+                .alias("__had_bt"),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         return self._zx_cand(
-            spark.table(bt_name), 0, F.col(LSN_COL),
-            F.when(F.col("side") == "t", F.lit(_OP_TOMBSTONE)).otherwise(
-                F.lit(_OP_BASE)
-            ),
+            bt1, src, F.col(LSN_COL), op_expr,
             F.col(_TB1_COL), F.col(_TB2_COL), key_cols, nonkey,
+            extra=(F.col("__had_bt"),),
         ).withColumnRenamed("__cand", "__cand_b")
 
     @staticmethod
@@ -1743,7 +1809,14 @@ class LakeTable:
                 base_side, on=key_cols, how="full_outer"
             )
             winner = F.greatest("__cand_u", "__cand_b")
-            base_side_present = F.col("__cand_b").isNotNull()
+            # __had_bt (nullable through the outer join) distinguishes a
+            # real base/tombstone row from a folded delta-only key, so
+            # __all_chg matches merge()'s min(__src)-over-b/t semantics
+            base_side_present = (
+                F.col("__had_bt").eqNullSafe(F.lit(True))
+                if "__had_bt" in base_side.columns
+                else F.col("__cand_b").isNotNull()
+            )
         else:
             joined = upd_side
             winner = F.col("__cand_u")
@@ -1794,11 +1867,17 @@ class LakeTable:
         winner feeds the same _finalize_cow tail (action metrics,
         bucketed write, snapshot commit).
 
-        Restrictions: key column types in the WAL must EXACTLY match
+        Restriction: key column types in the WAL must EXACTLY match
         the stored key types (the bucket layout hashed them; a cast
-        cannot fix file placement), and the table must carry no pending
-        MOR deltas (compact() first — deltas are not bucket-registrable
-        with >1 event per key deduplicated across files).
+        cannot fix file placement).
+
+        Pending MOR deltas fold in with the same contract as merge():
+        touched buckets' deltas are absorbed (they were written
+        one-bucket-per-file, so they register into the same bucketed
+        base/tomb table and pre-dedup with a no-exchange window — see
+        _zx_base_tomb_side); untouched buckets keep their deltas. A
+        mixed MOR-then-COW loop therefore needs no compact() before
+        the zero-exchange merge.
 
         validate_layout=True runs one column-pruned pass checking every
         row's engine bucket equals its file-name bucket — use in tests
@@ -1815,11 +1894,6 @@ class LakeTable:
         key_cols: list[str] = snap["key_cols"]
         n_buckets = snap["num_buckets"]
         tb_family = snap.get("tiebreak_family", "xxhash64")
-        if snap.get("deltas"):
-            raise ValueError(
-                "table has pending merge-on-read deltas; compact() before "
-                "merge_prebucketed (deltas are not bucket-registrable)"
-            )
         wal_files = B.collect_wal_files(source_path)
         touched = sorted(int(b) for b in wal_files)
         if not touched:

@@ -157,12 +157,6 @@ def test_prebucketed_rejects_bad_layouts(spark, tmp_path):
     write_bucketed_wal(b, walk, NB, ["conv_id"])
     with pytest.raises(ValueError, match="layout invalid"):
         t.merge_prebucketed(spark, walk, validate_layout=True)
-    # pending MOR deltas refuse the zero-exchange path
-    t.merge(b, mode="mor")
-    wal = str(tmp_path / "wal")
-    write_bucketed_wal(b, wal, NB, KEYS)
-    with pytest.raises(ValueError, match="compact"):
-        t.merge_prebucketed(spark, wal)
     # key-type mismatch (int vs the stored long/int pairing)
     t2 = LakeTable.create(
         str(tmp_path / "t2"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
@@ -289,3 +283,71 @@ def test_vacuum_sweeps_orphaned_registration_dirs(spark, tmp_path):
     assert os.path.isdir(os.path.join(breg, "reg-deadbeef")), "fresh reg swept"
     t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
     assert not os.path.isdir(os.path.join(breg, "reg-deadbeef"))
+
+
+def test_prebucketed_merge_folds_pending_mor_deltas(spark, tmp_path):
+    """merge() and merge_prebucketed() share the delta-fold contract:
+    a table carrying MOR deltas (multiple batches, overlapping keys,
+    deletes, equal-LSN replays of delta rows in the WAL) absorbs
+    touched buckets' deltas into the copy-on-write resolve — identical
+    final state AND identical action metrics, with zero exchanges."""
+    twin, zx = _twins(spark, tmp_path, name="df")
+    b1 = _stream(spark, 2500, seed=101).localCheckpoint()
+    b2 = _stream(spark, 1500, seed=102, lsn_start=2500).localCheckpoint()
+    # b3 replays half of b2 verbatim (same key, lsn AND payload: the
+    # delta copy vs WAL copy have identical tie-break limbs) plus new
+    # higher-LSN events contesting delta keys
+    b3 = (
+        b2.sample(0.5, seed=7)
+        .unionByName(_stream(spark, 1500, seed=103, lsn_start=4000))
+        .localCheckpoint()
+    )
+    for t in (twin, zx):
+        t.merge(b1)           # cow: base + tombstones
+        t.merge(b2, mode="mor")
+        assert t.stats()["delta_files"] > 0
+    wal3 = str(tmp_path / "wal3")
+    write_bucketed_wal(b3, wal3, NB, KEYS)
+
+    rw = twin.merge(b3)       # window path folds touched deltas
+    plans = []
+    rz = zx.merge_prebucketed(spark, wal3, _plan_out=plans)
+    assert _state(spark, twin) == _state(spark, zx)
+    for f in ("rows_inserted", "rows_updated", "rows_deleted", "rows_noop",
+              "rows_dropped"):
+        assert getattr(rw, f) == getattr(rz, f), f
+    # touched buckets' deltas were absorbed (this WAL touches all)
+    assert zx.stats()["delta_files"] == 0
+    assert "Exchange" not in plans[0], plans[0]
+    assert "Bucketed: true" in plans[0]
+
+
+def test_prebucketed_delta_fold_keeps_untouched_buckets(spark, tmp_path):
+    """A WAL touching a strict subset of buckets folds ONLY those
+    buckets' deltas; untouched buckets keep theirs (merge() contract),
+    and the resolved states still agree with the window path."""
+    twin, zx = _twins(spark, tmp_path, name="ub")
+    b1 = _stream(spark, 2000, seed=111).localCheckpoint()
+    b2 = _stream(spark, 1200, seed=112, lsn_start=2000).localCheckpoint()
+    for t in (twin, zx):
+        t.merge(b1)
+        t.merge(b2, mode="mor")
+    bexpr = zx._bucket_expr()
+    b3 = (
+        _stream(spark, 1200, seed=113, lsn_start=4000)
+        .filter(bexpr.isin(0, 1))
+        .localCheckpoint()
+    )
+    wal3 = str(tmp_path / "wal3")
+    write_bucketed_wal(b3, wal3, NB, KEYS)
+    assert wal_touched_buckets(wal3) == [0, 1]
+
+    twin.merge(b3)
+    zx.merge_prebucketed(spark, wal3)
+    assert _state(spark, twin) == _state(spark, zx)
+    snap = zx.snapshot()
+    kept = sorted(int(b) for b in snap.get("deltas", {}))
+    assert kept and all(b in (2, 3) for b in kept), kept
+    # the fold is equivalent to compact-then-read on the survivors too
+    zx.compact(spark)
+    assert _state(spark, twin) == _state(spark, zx)
