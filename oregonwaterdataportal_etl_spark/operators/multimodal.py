@@ -3,9 +3,11 @@
 Images/audio/video ride as `binary` columns with a struct of metadata
 (mime, width/height/duration, sha256). The Spark-side machinery —
 schema, partition sizing, Arrow batch shape, mapInPandas signatures —
-is real and tested; the actual codec calls are STUBBED behind
-`decode_stub` (the image/audio libraries are not in this container).
-Swap `_decode_one` for PIL/librosa on a real cluster.
+is real and tested. Codecs are REAL and in-tree (pure stdlib + numpy)
+for PNG, BMP, baseline JPEG, PCM WAV and Motion-JPEG AVI; everything
+else falls back to a deterministic stub FLAGGED with decoded=false
+(the broad image/audio libraries are not in this container — swap
+`_decode_one` for PIL/ffmpeg/librosa on a real cluster).
 
 Scale notes: binary payloads dominate partition size — size
 spark.sql.files.maxPartitionBytes so a partition holds O(100) blobs,
@@ -60,13 +62,16 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
     - image/jpeg baseline sequential (SOF0/SOF1, incl. 4:2:0/4:2:2
       subsampling and restart markers) -> same histogram (jpegcodec.py);
     - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
-      (wavcodec.py, numpy FFT).
+      (wavcodec.py, numpy FFT);
+    - video/avi Motion-JPEG (RIFF container, avicodec.py) -> luminance
+      histogram of the FIRST frame via the jpeg codec.
     Other image/audio/video mimes (and payloads the minimal codecs
     can't parse: palette/interlaced/16-bit PNG, RLE/paletted BMP,
-    PROGRESSIVE jpeg, non-PCM WAV, truncated blobs): deterministic
-    sha256-derived fake features, decoded=False — the documented STUB;
-    swap for PIL/ffmpeg/librosa on a real cluster. The flag makes the
-    fallback filterable instead of silent."""
+    PROGRESSIVE jpeg, non-PCM WAV, non-MJPG AVI, truncated blobs):
+    deterministic sha256-derived fake features, decoded=False — the
+    documented STUB; swap for PIL/ffmpeg/librosa on a real cluster.
+    The flag makes the fallback filterable instead of silent."""
+    from .avicodec import AVI_MAGIC, decode_avi_frames
     from .bmpcodec import BMP_MAGIC, decode_bmp
     from .jpegcodec import JPEG_MAGIC, decode_jpeg
     from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
@@ -84,6 +89,11 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
         ):
             samples, _rate = decode_wav(payload)
             return log_spectrum_feature(samples, bins=32), True
+        if mime in ("video/avi", "video/x-msvideo", "video/msvideo") and (
+            payload.startswith(AVI_MAGIC)
+        ):
+            first = decode_avi_frames(payload)[0]
+            return luminance_histogram(decode_jpeg(first), bins=32), True
     except Exception:
         pass
     if mime.startswith(("image/", "audio/", "video/")):
@@ -131,11 +141,13 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize over Arrow batches. image/png, image/bmp and
-    baseline image/jpeg: REAL nearest-neighbor resize via the in-tree
-    codecs (decode -> resize -> re-encode, staying in the source
-    format). Other mimes still raise (PIL territory);
+    """Image resize over Arrow batches. image/png, image/bmp, baseline
+    image/jpeg and Motion-JPEG video/avi: REAL nearest-neighbor resize
+    via the in-tree codecs (decode -> resize -> re-encode, staying in
+    the source format; AVI resizes every frame and repacks the
+    container). Other mimes still raise (PIL territory);
     'application/x-test' passes through for plumbing tests."""
+    from .avicodec import AVI_MAGIC, avi_info, decode_avi_frames, encode_avi_mjpeg
     from .bmpcodec import BMP_MAGIC, decode_bmp, encode_bmp
     from .jpegcodec import JPEG_MAGIC, decode_jpeg, encode_jpeg
     from .pngcodec import PNG_MAGIC, decode_png, encode_png, resize_nearest
@@ -159,6 +171,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 ).startswith(JPEG_MAGIC):
                     arr = resize_nearest(decode_jpeg(bytes(p)), width, height)
                     out.append(encode_jpeg(arr))
+                elif m in ("video/avi", "video/x-msvideo", "video/msvideo") and (
+                    p is not None and bytes(p).startswith(AVI_MAGIC)
+                ):
+                    p = bytes(p)
+                    info = avi_info(p)
+                    fps = int(info.get("fps") or 30)
+                    resized = [
+                        encode_jpeg(resize_nearest(decode_jpeg(fr), width, height))
+                        for fr in decode_avi_frames(p)
+                    ]
+                    out.append(encode_avi_mjpeg(resized, width, height, fps=fps))
                 else:
                     raise NotImplementedError(
                         "resize for this mime requires PIL; not available here"
@@ -171,28 +194,50 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_idx,
-    payload) rows; frame decode itself is stubbed to deterministic
-    slices of the payload so partition/row-explosion shape is real."""
+    """Video frame sampling: emit every ``every_n``-th frame as its own
+    row (media_id, frame_idx, frame, decoded). REAL for Motion-JPEG
+    AVIs (avicodec.py container parse; each emitted frame is a complete
+    baseline JPEG — decode with jpegcodec, decoded=True, frame_idx is
+    the ORIGINAL stream index). Non-AVI video payloads keep the
+    documented stub (deterministic byte slices, decoded=False) so the
+    row-explosion / partition shape stays testable for mimes whose
+    codecs need ffmpeg."""
+    from .avicodec import AVI_MAGIC, decode_avi_frames
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField("frame", T.BinaryType(), True),
+            T.StructField("decoded", T.BooleanType(), False),
         ]
     )
 
     def run(batches):
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            rows = {"media_id": [], "frame_idx": [], "frame": [], "decoded": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
+                p = bytes(p)
+                if p.startswith(AVI_MAGIC):
+                    try:
+                        frames = decode_avi_frames(p)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        for i in range(0, len(frames), max(every_n, 1)):
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(i)
+                            rows["frame"].append(frames[i])
+                            rows["decoded"].append(True)
+                        continue
                 n_frames = max(len(p) // every_n, 1)
                 for i in range(n_frames):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
-                    rows["frame"].append(bytes(p[i * every_n : (i + 1) * every_n]))
+                    rows["frame"].append(p[i * every_n : (i + 1) * every_n])
+                    rows["decoded"].append(False)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=out_schema)

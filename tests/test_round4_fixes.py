@@ -384,3 +384,77 @@ def test_jpeg_codec_roundtrip_and_features(spark):
         media.filter("media_id = 1"), width=16, height=8
     ).collect()[0]["payload"]
     assert decode_jpeg(bytes(resized)).shape == (8, 16, 3)
+
+
+def test_avi_mjpeg_codec_frames_features_resize(spark):
+    """Real in-tree Motion-JPEG AVI: container roundtrip preserves
+    frame payloads bit-exactly and avih metadata; sample_frames emits
+    every-nth REAL frame (decoded=True, original stream indexes) that
+    the jpeg codec decodes back within JPEG loss; extract_features
+    histograms the first frame; resize_images repacks a resized AVI;
+    and a non-AVI video payload falls back to the flagged slice stub."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators import multimodal
+    from oregonwaterdataportal_etl_spark.operators.avicodec import (
+        avi_info,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from oregonwaterdataportal_etl_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from oregonwaterdataportal_etl_spark.operators.pngcodec import (
+        luminance_histogram,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    frames_rgb = [
+        np.stack(
+            [(xx * 5 + t * 11) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for t in range(7)
+    ]
+    jpgs = [encode_jpeg(a, quality=90) for a in frames_rgb]
+    avi = encode_avi_mjpeg(jpgs, width=24, height=16, fps=12)
+
+    # container roundtrip: bit-exact frame payloads + header metadata
+    assert decode_avi_frames(avi) == jpgs
+    info = avi_info(avi)
+    assert (info["total_frames"], info["width"], info["height"]) == (7, 24, 16)
+    assert info["fps"] == pytest.approx(12, abs=0.01)
+
+    media = spark.createDataFrame(
+        [
+            (1, "video/x-msvideo", avi, {}),
+            (2, "video/mp4", b"\x00\x00\x00\x18ftypmp42" + bytes(64), {}),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, every_n=3).collect()
+    real = sorted(
+        [r for r in rows if r["media_id"] == 1], key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in real] == [0, 3, 6]
+    assert all(r["decoded"] for r in real)
+    got = decode_jpeg(bytes(real[1]["frame"]))
+    assert float(np.abs(got.astype(int) - frames_rgb[3].astype(int)).mean()) < 2.0
+    stub = [r for r in rows if r["media_id"] == 2]
+    assert stub and not any(r["decoded"] for r in stub)
+
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["decoded"] is True
+    assert np.allclose(
+        feats[1]["feature"], luminance_histogram(decode_jpeg(jpgs[0]), bins=32)
+    )
+    assert feats[2]["decoded"] is False
+
+    resized = multimodal.resize_images(
+        media.filter("media_id = 1"), width=12, height=8
+    ).collect()[0]["payload"]
+    rframes = decode_avi_frames(bytes(resized))
+    assert len(rframes) == 7
+    assert decode_jpeg(rframes[0]).shape == (8, 12, 3)
+    assert avi_info(bytes(resized))["width"] == 12
