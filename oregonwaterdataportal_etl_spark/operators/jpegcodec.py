@@ -490,3 +490,32 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_info(payload: bytes) -> dict:
+    """Marker-scan metadata without entropy decode: dimensions,
+    component count and whether the scan is baseline or progressive."""
+    if not payload.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            h, w = struct.unpack(">HH", payload[pos + 3 : pos + 7])
+            return {
+                "width": w,
+                "height": h,
+                "components": payload[pos + 7],
+                "progressive": marker == 0xC2,
+            }
+        pos += seglen
+    raise ValueError("JPEG missing SOF header")

@@ -241,3 +241,107 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=out_schema)
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("bit_rate", T.IntegerType(), True),
+        # True = a REAL header parse produced the metadata; False = the
+        # payload is opaque to the in-tree parsers (unknown mime or
+        # unparseable header) — same honesty contract as FEATURE_SCHEMA.
+        T.StructField("probed", T.BooleanType(), False),
+    ]
+)
+
+
+def _probe_one(payload: bytes, mime: str) -> dict | None:
+    """Typed metadata from REAL header parses only (no full decode):
+    PNG/BMP/JPEG dimensions, WAV duration/rate, MJPEG-AVI frame count/
+    fps/dimensions, MP3 duration/bitrate/rate (mp3codec frame walk).
+    Returns None when nothing in-tree can parse the payload."""
+    import struct as _s
+
+    from .avicodec import AVI_MAGIC, avi_info
+    from .bmpcodec import BMP_MAGIC
+    from .jpegcodec import JPEG_MAGIC, jpeg_info
+    from .mp3codec import ID3_MAGIC, parse_mp3_info
+    from .pngcodec import PNG_MAGIC
+    from .wavcodec import wav_info
+
+    try:
+        if payload.startswith(PNG_MAGIC) and len(payload) >= 24:
+            w, h = _s.unpack(">II", payload[16:24])
+            return {"width": w, "height": h}
+        if payload.startswith(BMP_MAGIC) and len(payload) >= 26:
+            w, h = _s.unpack("<ii", payload[18:26])
+            return {"width": w, "height": abs(h)}
+        if payload.startswith(JPEG_MAGIC):
+            ji = jpeg_info(payload)
+            return {"width": ji["width"], "height": ji["height"]}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            ai = avi_info(payload)
+            us = ai["us_per_frame"]
+            return {
+                "width": ai["width"],
+                "height": ai["height"],
+                "n_frames": ai["total_frames"],
+                "duration_s": round(ai["total_frames"] * us / 1e6, 6)
+                if us
+                else None,
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            wi = wav_info(payload)
+            return {
+                "duration_s": wi["duration_s"],
+                "sample_rate": wi["sample_rate"],
+                "n_frames": wi["n_frames"],
+            }
+        if mime in ("audio/mpeg", "audio/mp3") or payload.startswith(ID3_MAGIC):
+            mi = parse_mp3_info(payload)
+            return {
+                "duration_s": mi["duration_s"],
+                "sample_rate": mi["sample_rate"],
+                "n_frames": mi["n_frames"],
+                "bit_rate": mi["bit_rate"],
+            }
+    except Exception:
+        return None
+    return None
+
+
+def probe_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Typed-metadata extraction over Arrow batches (mapInPandas), the
+    header-parse sibling of extract_features: container/dimension/
+    duration facts with NO pixel or sample decode, so it stays cheap on
+    100-TB blob collections (reads only each payload's header bytes —
+    pair with a payload-prefix projection at scan time when the source
+    supports it)."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in (
+                "media_id", "mime", "n_bytes", "width", "height",
+                "duration_s", "sample_rate", "n_frames", "bit_rate", "probed",
+            )}
+            for mid, m, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                info = _probe_one(bytes(p), m or "") if p is not None else None
+                out["media_id"].append(mid)
+                out["mime"].append(m)
+                out["n_bytes"].append(len(p) if p is not None else 0)
+                for k in ("width", "height", "duration_s", "sample_rate",
+                          "n_frames", "bit_rate"):
+                    out[k].append(None if info is None else info.get(k))
+                out["probed"].append(info is not None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)

@@ -74,3 +74,18 @@ def log_spectrum_feature(samples: np.ndarray, bins: int = 32,
     feat = np.log1p(banded)
     total = feat.sum()
     return (feat / total if total > 0 else feat).astype(np.float32)
+
+
+def wav_info(payload: bytes) -> dict:
+    """Header-only metadata (no sample read): channels, sample width,
+    rate, frame count, duration."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        return {
+            "channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "sample_rate": rate,
+            "n_frames": n,
+            "duration_s": round(n / rate, 6) if rate else None,
+        }

@@ -458,3 +458,61 @@ def test_avi_mjpeg_codec_frames_features_resize(spark):
     assert len(rframes) == 7
     assert decode_jpeg(rframes[0]).shape == (8, 12, 3)
     assert avi_info(bytes(resized))["width"] == 12
+
+
+def test_mp3_header_parse_and_probe_media(spark):
+    """Real MPEG frame-header walk: a synthetic CBR stream (known frame
+    count/bitrate/rate, with an ID3v2 prefix and trailing junk) parses
+    to exact metadata; probe_media serves typed metadata for every
+    in-tree container (png/bmp/jpeg/wav/avi/mp3) with probed=True and
+    flags opaque payloads probed=False."""
+    import numpy as np
+
+    from oregonwaterdataportal_etl_spark.operators import multimodal
+    from oregonwaterdataportal_etl_spark.operators.avicodec import encode_avi_mjpeg
+    from oregonwaterdataportal_etl_spark.operators.bmpcodec import encode_bmp
+    from oregonwaterdataportal_etl_spark.operators.jpegcodec import encode_jpeg
+    from oregonwaterdataportal_etl_spark.operators.mp3codec import (
+        encode_mp3_cbr_stub,
+        parse_mp3_info,
+    )
+    from oregonwaterdataportal_etl_spark.operators.pngcodec import encode_png
+    from oregonwaterdataportal_etl_spark.operators.wavcodec import encode_wav
+
+    mp3 = encode_mp3_cbr_stub(n_frames=25, bitrate_kbps=128, sample_rate=44100)
+    # ID3v2 prefix (syncsafe size 0) + APE-ish trailing junk both skip
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x00" + mp3 + b"APETAGEX" + bytes(16)
+    for payload in (mp3, tagged):
+        info = parse_mp3_info(payload)
+        assert info["n_frames"] == 25
+        assert info["sample_rate"] == 44100
+        assert info["bit_rate"] == pytest.approx(128_000, rel=0.01)
+        assert info["duration_s"] == pytest.approx(25 * 1152 / 44100, abs=1e-6)
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_info(b"\x00" * 512)
+
+    yy, xx = np.mgrid[0:8, 0:12]
+    rgb = np.stack([(xx * 9) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=-1
+                   ).astype(np.uint8)
+    jpg = encode_jpeg(rgb, quality=90)
+    rows = [
+        (1, "image/png", encode_png(rgb), {}),
+        (2, "image/bmp", encode_bmp(rgb), {}),
+        (3, "image/jpeg", jpg, {}),
+        (4, "audio/wav", encode_wav(np.sin(np.arange(8000) / 20.0), rate=16000), {}),
+        (5, "video/x-msvideo", encode_avi_mjpeg([jpg] * 6, 12, 8, fps=3), {}),
+        (6, "audio/mpeg", tagged, {}),
+        (7, "application/octet-stream", b"\x00opaque", {}),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    probes = {r["media_id"]: r for r in multimodal.probe_media(media).collect()}
+    for mid in (1, 2, 3):
+        assert probes[mid]["probed"] and (probes[mid]["width"],
+                                          probes[mid]["height"]) == (12, 8)
+    assert probes[4]["probed"] and probes[4]["sample_rate"] == 16000
+    assert probes[4]["duration_s"] == pytest.approx(0.5, abs=1e-6)
+    assert probes[5]["probed"] and probes[5]["n_frames"] == 6
+    assert probes[5]["duration_s"] == pytest.approx(2.0, abs=0.01)
+    assert probes[6]["probed"] and probes[6]["n_frames"] == 25
+    assert probes[6]["bit_rate"] == pytest.approx(128_000, rel=0.01)
+    assert probes[7]["probed"] is False and probes[7]["n_bytes"] == 7
