@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from oregonwaterdataportal_etl_spark.functions import scalar, text
@@ -179,6 +180,63 @@ def q_lww_tiebreak(spark, sf):
         "props",
     )
     return lww_dedup(ev, key_cols=["user_id"], lsn_col="lsn", tiebreak_family="md5")
+
+
+def q_cdc_mixed_mode(spark, sf):
+    """The ENGINE ITSELF under the driver's value gate: the events
+    stream becomes a change log (key = (user_id, k), lsn = event_id,
+    'error' = delete) applied to a real LakeTable in MIXED mode — the
+    low-LSN half as merge-on-read delta appends, the rest as a
+    bucketed WAL through the zero-exchange merge_prebucketed, which
+    must FOLD the pending deltas (round-4 capability). The final table
+    state is mode/batching independent, so the oracle is the same pure
+    LWW SQL as cdc_lww_fold — any divergence in the mor append, the
+    WAL bucket layout, the delta fold or tombstone handling breaks the
+    value hash."""
+    import shutil
+    import tempfile
+
+    from oregonwaterdataportal_etl_spark.lake import LakeTable, write_bucketed_wal
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.col("event_id"),
+        F.round("value", 4).alias("value"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    ).localCheckpoint(eager=True)
+    mid = ev.agg(F.percentile_approx("lsn", 0.5)).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_mixed_")
+    try:
+        table = LakeTable.create(
+            os.path.join(tmp, "t"),
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("k", T.IntegerType()),
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            key_cols=["user_id", "k"],
+            num_buckets=8,
+        )
+        table.merge(ev.filter(F.col("lsn") < mid), mode="mor")
+        wal = os.path.join(tmp, "wal")
+        write_bucketed_wal(ev.filter(F.col("lsn") >= mid), wal, 8,
+                           ["user_id", "k"])
+        table.merge_prebucketed(spark, wal)
+        out = (
+            table.read(spark)
+            .select("user_id", "k", "event_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_latest_per_key(spark, sf):
@@ -601,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_window": q_lww_window,
         "lww_tiebreak": q_lww_tiebreak,
         "cdc_lww_fold": q_cdc_lww_fold,
+        "cdc_mixed_mode": q_cdc_mixed_mode,
         "latest_per_key": q_latest_per_key,
         "argmax_dedup": q_argmax_dedup,
         "first_wins_dedup": q_first_wins_dedup,
@@ -965,6 +1024,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, lsn, event_type, props FROM ranked WHERE rn = 1
         """,
         "cdc_lww_fold": """
+            SELECT user_id, k, event_id, round(value, 4) AS value
+            FROM (SELECT user_id,
+                         cast(json_extract(props, '$.k') AS int) AS k,
+                         event_id, value, event_type,
+                         row_number() OVER
+                           (PARTITION BY user_id, cast(json_extract(props, '$.k') AS int)
+                            ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type != 'error'
+        """,
+        "cdc_mixed_mode": """
             SELECT user_id, k, event_id, round(value, 4) AS value
             FROM (SELECT user_id,
                          cast(json_extract(props, '$.k') AS int) AS k,

@@ -99,6 +99,34 @@ def worker(path_kind: str, stream_dir: str, workdir: str) -> None:
         }))
         spark.stop()
         return
+    if path_kind in ("fold", "compactfirst"):
+        # delta-fold A/B: a MOR window leaves pending deltas, then a
+        # second window arrives as a bucketed WAL. "fold" absorbs the
+        # deltas inside the zero-exchange merge (round-4 capability);
+        # "compactfirst" pays a separate compact() pass first (the old
+        # prerequisite). Timed section = everything needed to reach the
+        # same fully-applied, delta-free table state.
+        mid = (cut + EVENTS) // 2
+        table.merge(changes.filter(f"lsn >= {cut} and lsn < {mid}"), mode="mor")
+        wal_dir = os.path.join(workdir, f"wal-{run_id}")
+        write_bucketed_wal(
+            changes.filter(f"lsn >= {mid}"), wal_dir, NB, ["conv_id", "turn_idx"]
+        )
+        sb0 = _shuffle_bytes(spark)
+        t0 = time.perf_counter()
+        if path_kind == "compactfirst":
+            table.compact(spark)
+        res = table.merge_prebucketed(spark, wal_dir)
+        sec = time.perf_counter() - t0
+        n_rows = table.read(spark).count()
+        assert not table.snapshot().get("deltas")
+        print(json.dumps({
+            "path": path_kind, "cpus": CPUS, "apply_sec": round(sec, 3),
+            "events_per_sec": round((EVENTS - mid) / sec, 1), "rows": n_rows,
+            "apply_shuffle_bytes": _shuffle_bytes(spark) - sb0,
+        }))
+        spark.stop()
+        return
     if path_kind == "window":
         batch = changes.filter(f"lsn >= {cut}")
         sb0 = _shuffle_bytes(spark)
@@ -168,11 +196,16 @@ def main() -> None:
         return lines[-1] if lines else "{}"
 
     run_stage(["generate", stream_dir])
-    out = {"metric": "zero_exchange_merge_ab", "events": EVENTS,
+    kinds = ("window", "prebucketed")
+    metric = "zero_exchange_merge_ab"
+    if os.environ.get("ZX_MODE") == "fold":
+        kinds = ("compactfirst", "fold")
+        metric = "zero_exchange_delta_fold_ab"
+    out = {"metric": metric, "events": EVENTS,
            "tail_events": EVENTS - int(EVENTS * 15 / 16), "cpus": CPUS,
            "num_buckets": NB, "repeats": REPEATS}
     rows_ref = None
-    for kind in ("window", "prebucketed"):
+    for kind in kinds:
         runs = [
             json.loads(run_stage(["worker", kind, stream_dir, workdir]))
             for _ in range(REPEATS)
@@ -187,9 +220,14 @@ def main() -> None:
         if rows_ref is None:
             rows_ref = best["rows"]
         assert rows_ref == best["rows"], "paths disagree on merged rows"
-    out["prebucketed_vs_window"] = round(
-        out["window_apply_sec"] / out["prebucketed_apply_sec"], 3
-    )
+    if "window_apply_sec" in out:
+        out["prebucketed_vs_window"] = round(
+            out["window_apply_sec"] / out["prebucketed_apply_sec"], 3
+        )
+    else:
+        out["fold_vs_compactfirst"] = round(
+            out["compactfirst_apply_sec"] / out["fold_apply_sec"], 3
+        )
     print(json.dumps(out))
 
 
