@@ -2261,6 +2261,83 @@ class LakeTable:
             out.update(fl)
         return out
 
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_num_buckets: int,
+        sort_within: bool = True,
+    ) -> int:
+        """Bucket-count evolution (Iceberg partition-spec evolution
+        analog for the hash layout): rewrite base, tombstone AND delta
+        files into ``new_num_buckets`` and commit a snapshot whose
+        layout every subsequent merge / bucketed WAL / zero-exchange
+        path uses. The bucket count is otherwise fixed at create —
+        at 10^10-row scale the table outgrows it (per-bucket files get
+        huge, parallelism caps at num_buckets), so growth must be an
+        OPERATION, not a new table.
+
+        The resolved row set is bit-identical before and after: every
+        stored artifact (payload, __lsn, tie-break limbs, delta __op)
+        is carried verbatim — only file placement changes. Three
+        rewrite passes, each ONE key-hash shuffle at the new count;
+        sort_within keeps compact()'s tight row-group key clustering.
+        Cost model is a full-table rewrite (compact-everything), which
+        is why it is maintenance, not steady-state.
+
+        Readers racing the commit keep working: they pinned their
+        snapshot version (and its num_buckets) at read start, and old
+        files stay on disk until vacuum(). Concurrent WRITERS conflict
+        via the ordinary versioned-commit CAS; a pre-rebucket
+        bucketed WAL then fails loudly against the new spec (bucket-id
+        bound or validate_layout), never silently misplaces rows."""
+        snap = self.snapshot()
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        if new_num_buckets == snap["num_buckets"]:
+            return snap["version"]
+        nsnap = {**snap, "num_buckets": new_num_buckets}
+        bexpr = self._bucket_expr(nsnap)
+        stored = self._stored_schema()
+        delta_schema = T.StructType(
+            list(stored.fields) + [T.StructField(_OP_COL, T.StringType(), True)]
+        )
+
+        def rewrite(files_map: dict, schema: T.StructType) -> dict[str, list[str]]:
+            flist = [f for fl in (files_map or {}).values() for f in fl]
+            if not flist:
+                return {}
+            df = spark.read.schema(schema).parquet(*flist).withColumn(
+                _BUCKET_COL, bexpr
+            )
+            return self._write_buckets(df, sort_within=sort_within, _snap=nsnap)
+
+        new_files = rewrite(snap["files"], stored)
+        new_tombs = rewrite(snap.get("tombstones"), stored)
+        new_deltas = rewrite(snap.get("deltas"), delta_schema)
+        new_version = snap["version"] + 1
+        self._commit(
+            {
+                "version": new_version,
+                "parent": snap["version"],
+                "schema": snap["schema"],
+                "key_cols": snap["key_cols"],
+                "num_buckets": new_num_buckets,
+                "dict_cols": snap.get("dict_cols", {}),
+                "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
+                "files": new_files,
+                "deltas": new_deltas,
+                "tombstones": new_tombs,
+                "row_counts": _rows_per_bucket(new_files),
+                "summary": {
+                    "operation": "rebucket",
+                    "from_buckets": snap["num_buckets"],
+                    "to_buckets": new_num_buckets,
+                },
+            }
+        )
+        return new_version
+
     def vacuum(self, keep_last: int = 1, orphan_grace_seconds: float = 86400.0) -> int:
         """GC data files not referenced by the newest ``keep_last``
         snapshots (Iceberg expire_snapshots analog). Returns the number

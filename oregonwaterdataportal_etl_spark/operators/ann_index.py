@@ -41,7 +41,7 @@ from . import similarity
 # — is conservatively treated as a data change, so the index rebuilds
 # rather than silently serving stale results; review finding: the
 # previous data-changing whitelist did the opposite)
-_FILE_CHURN_OPS = {"compact", "compact-fold", "expire-tombstones"}
+_FILE_CHURN_OPS = {"compact", "compact-fold", "expire-tombstones", "rebucket"}
 
 
 class IndexStaleError(RuntimeError):
