@@ -3,7 +3,8 @@
 Usage:
 
     spark-submit --master <cluster> --py-files dist/owdp_etl_spark.zip \
-        jobs/maintain.py <table_dir> [offsets_dir] [keep_snapshots]
+        jobs/maintain.py <table_dir> [offsets_dir] [keep_snapshots] \
+        [--rebucket=N]
 
 Runs the full maintenance cycle a long-lived CDC table needs (the same
 operations CdcRunner(compact_every=N) performs inline, packaged for a
@@ -19,6 +20,10 @@ and the runner retries through CommitConflictError):
   3. vacuum()            — expire old snapshots, GC unreferenced data
                            files (age-graced) and writer debris.
 
+--rebucket=N additionally evolves the bucket count before compaction
+(LakeTable.rebucket: full-layout rewrite; schedule it like any other
+table-rewrite maintenance). No-op when the table already has N.
+
 Prints one JSON line of before/after metrics to stdout.
 """
 
@@ -33,12 +38,21 @@ from oregonwaterdataportal_etl_spark.lake.table import retry_on_conflict as _ret
 
 
 def main() -> None:
-    table_dir = sys.argv[1]
-    offsets_dir = sys.argv[2] if len(sys.argv) > 2 else None
-    keep_last = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    rebucket_to = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--rebucket="):
+            rebucket_to = int(a.split("=", 1)[1])
+        else:
+            args.append(a)
+    table_dir = args[0]
+    offsets_dir = args[1] if len(args) > 1 else None
+    keep_last = int(args[2]) if len(args) > 2 else 3
     spark = SparkSession.builder.appName("owdp-maintain").getOrCreate()
     table = LakeTable(table_dir)
     before = table.stats()
+    if rebucket_to is not None:
+        _retry(lambda: table.rebucket(spark, rebucket_to))
     version = _retry(lambda: table.compact(spark))
     expired = 0
     if offsets_dir:
@@ -58,6 +72,7 @@ def main() -> None:
                 "tombstones_expired": expired,
                 "files_vacuumed": removed,
                 "rows_base": after["rows_base"],
+                "num_buckets": after["num_buckets"],
             }
         )
     )

@@ -71,6 +71,8 @@ def test_spark_submit_py_files_applies_stream(spark, tmp_path):
                 os.path.join(REPO, "jobs", "maintain.py"),
                 str(tmp_path / "table"),
                 str(tmp_path / "offsets"),
+                "3",
+                "--rebucket=8",
             ],
             cwd=str(tmp_path),
             env=env,
@@ -84,6 +86,7 @@ def test_spark_submit_py_files_applies_stream(spark, tmp_path):
     mm = json.loads(lines2[-1])
     assert mm["rows_base"] == m["rows_final"]
     assert mm["base_files_after"] <= max(mm["base_files_before"], 1)
+    assert mm["num_buckets"] == 8  # --rebucket=8 evolved the layout
 
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
