@@ -186,13 +186,15 @@ def q_cdc_mixed_mode(spark, sf):
     """The ENGINE ITSELF under the driver's value gate: the events
     stream becomes a change log (key = (user_id, k), lsn = event_id,
     'error' = delete) applied to a real LakeTable in MIXED mode — the
-    low-LSN half as merge-on-read delta appends, the rest as a
-    bucketed WAL through the zero-exchange merge_prebucketed, which
-    must FOLD the pending deltas (round-4 capability). The final table
-    state is mode/batching independent, so the oracle is the same pure
-    LWW SQL as cdc_lww_fold — any divergence in the mor append, the
-    WAL bucket layout, the delta fold or tombstone handling breaks the
-    value hash."""
+    low-LSN half as merge-on-read delta appends, then a REBUCKET
+    (8 -> 16, re-homing the pending deltas and tombstones), then the
+    rest as a bucketed WAL at the NEW count through the zero-exchange
+    merge_prebucketed, which must FOLD the re-homed deltas (round-4
+    capabilities). The final table state is mode/batching/layout
+    independent, so the oracle is the same pure LWW SQL as
+    cdc_lww_fold — any divergence in the mor append, the rebucket
+    rewrite, the WAL bucket layout, the delta fold or tombstone
+    handling breaks the value hash."""
     import shutil
     import tempfile
 
@@ -225,8 +227,9 @@ def q_cdc_mixed_mode(spark, sf):
             num_buckets=8,
         )
         table.merge(ev.filter(F.col("lsn") < mid), mode="mor")
+        table.rebucket(spark, 16)
         wal = os.path.join(tmp, "wal")
-        write_bucketed_wal(ev.filter(F.col("lsn") >= mid), wal, 8,
+        write_bucketed_wal(ev.filter(F.col("lsn") >= mid), wal, 16,
                            ["user_id", "k"])
         table.merge_prebucketed(spark, wal)
         out = (
