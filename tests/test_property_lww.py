@@ -110,3 +110,77 @@ def test_deterministic_hash_property(spark, s, k):
     )
     assert got == expected
     assert 1 <= got < 10**k
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events_strategy(),
+    st.lists(st.sampled_from(["cow", "mor", "wal"]), min_size=2, max_size=4),
+    st.lists(st.sampled_from(["none", "compact", "rebucket"]), min_size=2,
+             max_size=4),
+    st.sampled_from([2, 3, 8, 16]),
+)
+def test_chaos_schedule_equals_oracle_fold(spark, raw, modes, maint, nb2):
+    """Table-level chaos property: ANY interleaving of cow merges, mor
+    appends, zero-exchange bucketed-WAL merges (delta-folding), compact
+    passes and rebuckets — applied to LSN-ordered batches of an
+    arbitrary event list — must leave the table in exactly the
+    sequential oracle fold's state. One schedule, five mechanisms, one
+    invariant."""
+    import shutil
+    import tempfile
+
+    from oregonwaterdataportal_etl_spark.lake import (
+        LakeTable,
+        write_bucketed_wal,
+    )
+
+    rows = to_rows(raw)
+    events = [
+        dict(zip(["op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts"], r))
+        for r in rows
+    ]
+    expected = sorted(
+        (k[0], k[1], v["text"]) for k, v in oracle_fold(events).items()
+    )
+
+    tmp = tempfile.mkdtemp(prefix="chaos_lww_")
+    try:
+        from oregonwaterdataportal_etl_spark.cdc.changegen import (
+            TRANSCRIPT_SCHEMA,
+        )
+
+        t = LakeTable.create(
+            f"{tmp}/t", TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+            num_buckets=4,
+        )
+        n = len(rows)
+        nb = len(modes)
+        step = max(n // nb, 1)
+        for i, mode in enumerate(modes):
+            lo = i * step
+            hi = (i + 1) * step if i < nb - 1 else n
+            if lo >= n:
+                break
+            batch = spark.createDataFrame(rows[lo:hi], schema=CHANGE_SCHEMA)
+            if mode == "wal":
+                wal = f"{tmp}/wal{i}"
+                write_bucketed_wal(
+                    batch, wal, t.snapshot()["num_buckets"],
+                    ["conv_id", "turn_idx"],
+                )
+                t.merge_prebucketed(spark, wal, validate_layout=True)
+            else:
+                t.merge(batch, mode=mode)
+            m = maint[i % len(maint)]
+            if m == "compact":
+                t.compact(spark)
+            elif m == "rebucket":
+                t.rebucket(spark, nb2)
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in t.read(spark).collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
