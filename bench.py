@@ -124,7 +124,30 @@ def bench_cdc(spark, workdir: str) -> dict:
     t0 = time.perf_counter()
     mor_table.merge(incr, mode="mor")
     incr_mor_elapsed = time.perf_counter() - t0
+
+    # zero-exchange incremental apply: the same 10% window pre-bucketed
+    # as a WAL (producer-side cost, untimed) through merge_prebucketed
+    # — the no-shuffle steady-state path (DESIGN.md §11); the cow table
+    # above already absorbed this window, so replay it onto a fresh
+    # copy built the same way
+    from oregonwaterdataportal_etl_spark.lake import write_bucketed_wal
+
+    zx_table = LakeTable.create(
+        os.path.join(workdir, "table_zx"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=max(nparts, 16),
+        dict_cols=DICT_COLS,
+    )
+    zx_table.merge(changes)
+    wal_dir = os.path.join(workdir, "wal_incr")
+    write_bucketed_wal(incr, wal_dir, max(nparts, 16), ["conv_id", "turn_idx"])
+    t0 = time.perf_counter()
+    zx_table.merge_prebucketed(spark, wal_dir)
+    incr_zx_elapsed = time.perf_counter() - t0
     return {
+        "cdc_incr_zx_apply_sec": round(incr_zx_elapsed, 3),
+        "cdc_incr_zx_events_per_sec": round(incr_events / incr_zx_elapsed, 1),
         "cdc_apply_sec": round(elapsed, 3),
         "cdc_events": CDC_EVENTS,
         "cdc_events_per_sec": round(CDC_EVENTS / elapsed, 1),
