@@ -89,6 +89,34 @@ def zero_exchange_plan(spark, tmp) -> str:
     return plans[0]
 
 
+def zero_exchange_fold_plan(spark, tmp) -> str:
+    """merge_prebucketed with PENDING MOR DELTAS: the base/tomb/delta
+    side gains a no-exchange pre-dedup window over the side-partitioned
+    bucketed scan; still zero Exchange anywhere."""
+    from oregonwaterdataportal_etl_spark.lake.bucketed import write_bucketed_wal
+
+    t = LakeTable.create(
+        os.path.join(tmp, "zxf"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        generate_changes_pdf(2000, 100, seed=5, delete_rate=0.1)
+    ).localCheckpoint()
+    b2 = spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=6)
+    ).withColumn("lsn", F.col("lsn") + 2000).localCheckpoint()
+    b3 = spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=7)
+    ).withColumn("lsn", F.col("lsn") + 4000).localCheckpoint()
+    t.merge(b1)
+    t.merge(b2, mode="mor")
+    w3 = os.path.join(tmp, "w3")
+    write_bucketed_wal(b3, w3, 4, ["conv_id", "turn_idx"])
+    plans = []
+    t.merge_prebucketed(spark, w3, _plan_out=plans)
+    return plans[0]
+
+
 def main() -> None:
     import tempfile
 
@@ -102,6 +130,14 @@ def main() -> None:
             "NO per-task sorts. Pinned by "
             "test_prebucketed_plan_has_zero_exchanges",
             zero_exchange_plan(spark, tmp),
+        ),
+        (
+            "Zero-exchange merge with MOR delta folding (round 4)",
+            "pending deltas register as side=d of the bucketed base/tomb "
+            "table; the combined side pre-dedups per key with a window the "
+            "bucketed scan's partitioning satisfies — still NO Exchange. "
+            "Pinned by test_prebucketed_merge_folds_pending_mor_deltas",
+            zero_exchange_fold_plan(spark, tmp),
         ),
         (
             "CDC merge resolve (the one exchange)",
