@@ -119,14 +119,15 @@ def test_deterministic_hash_property(spark, s, k):
     st.lists(st.sampled_from(["none", "compact", "rebucket"]), min_size=2,
              max_size=4),
     st.sampled_from([2, 3, 8, 16]),
+    st.sampled_from(["pointer", "rename-free"]),
 )
-def test_chaos_schedule_equals_oracle_fold(spark, raw, modes, maint, nb2):
+def test_chaos_schedule_equals_oracle_fold(spark, raw, modes, maint, nb2, cmode):
     """Table-level chaos property: ANY interleaving of cow merges, mor
     appends, zero-exchange bucketed-WAL merges (delta-folding), compact
     passes and rebuckets — applied to LSN-ordered batches of an
     arbitrary event list — must leave the table in exactly the
     sequential oracle fold's state. One schedule, five mechanisms, one
-    invariant."""
+    invariant — in BOTH commit modes (pointer and rename-free)."""
     import shutil
     import tempfile
 
@@ -152,7 +153,7 @@ def test_chaos_schedule_equals_oracle_fold(spark, raw, modes, maint, nb2):
 
         t = LakeTable.create(
             f"{tmp}/t", TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
-            num_buckets=4,
+            num_buckets=4, commit_mode=cmode,
         )
         n = len(rows)
         nb = len(modes)
