@@ -103,6 +103,12 @@ def minhash_signatures(
     # aggregate(zip_with(least)) pass is ~16% faster steady-state but
     # its generated code takes ~2s longer to compile — a net LOSS for
     # run-once pipelines (8.2s vs 6.0s at sf0.1 bench conditions).
+    # Round-4 follow-up A/B (CHUNKED aggregates, 4-16 families per
+    # pass, signature stage alone at sf0.1 local[32]): hot-path wins up
+    # to 1.6x (1.93s -> 1.24s at chunk=4) but cold (compile-inclusive)
+    # is a wash (4.89 vs 4.7-5.7s) — kept rejected for the run-once
+    # default; chunk~4 is the knob to flip for a PERSISTENT pipeline
+    # that signatures the same corpus repeatedly.
     if hash_family == "md5":
         a_c, b_c = md5_family_constants(num_hashes)
 
