@@ -542,6 +542,16 @@ def q_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(d, threshold=0.8, round_digits=None)
 
 
+def q_dup_span_fraction(spark, sf):
+    """CCNet/Dolma-style duplicated-span hygiene: per-doc fraction of
+    word-trigram POSITIONS whose gram occurs in >= 2 distinct docs
+    corpus-wide (operators/dedup.dup_span_stats). md5 hash family so
+    the DuckDB oracle replicates the gram hashing bit-exactly — a
+    collision would perturb both engines identically."""
+    d = _t(spark, sf, "documents")
+    return dedup.dup_span_stats(d, k=3, min_docs=2, hash_family="md5")
+
+
 def q_embedding_neardup(spark, sf):
     """Embedding cosine near-dup via hyperplane buckets + in-bucket
     verify. The synthetic corpus has no true near-dups (max pairwise
@@ -690,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_span_fraction": q_dup_span_fraction,
         "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
@@ -1284,6 +1295,31 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(),
         "quality_score": _quality_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "dup_span_fraction": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(array_to_string(words[i:i+2], ' ')), 1, 15)) AS BIGINT) AS gh
+              FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+              WHERE len(words) >= 3
+            ),
+            fl AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            dup AS (SELECT doc_id, count(*) AS dup_grams
+                    FROM g JOIN fl USING (gh) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(dup.dup_grams, 0) AS dup_grams,
+                   coalesce(coalesce(dup.dup_grams, 0) / nullif(tot.n_grams, 0), 0.0)
+                     AS dup_fraction
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
+        """,
         "embedding_neardup": _embedding_neardup_sql(),
         # IVF probing all 16 cells must exactly reproduce brute force —
         # the full IVF machinery (sample, k-means, Arrow cell assignment,

@@ -470,3 +470,71 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the CCNet/Dolma-style
+    corpus-hygiene pass that catches boilerplate and templated spans
+    exact/near-dup DOCUMENT matching misses: a k-gram POSITION in a doc
+    is "duplicated" when its word k-gram occurs in >= min_docs distinct
+    documents corpus-wide. Returns (id, n_grams, dup_grams,
+    dup_fraction); filter on dup_fraction downstream.
+
+    Text normalization matches word_ngrams (lower + whitespace
+    collapse), positions are NOT deduplicated (a span repeated inside
+    one doc counts every time, like Dolma's ngram counter).
+
+    Scale shape: grams ride every shuffle as 8-byte hashes, never
+    strings (hash_family="xxhash64" default; "md5" = the module's
+    DuckDB-replicable 60-bit family, used by the value-checked oracle —
+    a hash collision perturbs BOTH engines identically, so the gate is
+    collision-proof). Three exchanges: gram doc-frequency groupBy,
+    flagged-gram join back, per-doc aggregate. The flagged-gram side is
+    df-filtered (typically tiny vs the corpus) so AQE broadcasts it.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    gram_str = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
+    if hash_family == "md5":
+        gh = lambda i: md5_base_hash(gram_str(i))  # noqa: E731
+    else:
+        gh = lambda i: F.xxhash64(gram_str(i))  # noqa: E731
+    grams = F.when(
+        n >= k, F.transform(F.sequence(F.lit(0), n - k), gh)
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    flagged = (
+        ex.groupBy("__g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__g")
+    )
+    dup = ex.join(flagged, "__g").groupBy(id_col).agg(
+        F.count("*").alias("dup_grams")
+    )
+    tot = ex.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        df.select(id_col)
+        .join(tot, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            # unrounded long/long double division — bit-stable
+            # cross-engine (same IEEE op both sides), like est_jaccard
+            F.coalesce(
+                F.coalesce("dup_grams", F.lit(0))
+                / F.when(F.coalesce("n_grams", F.lit(0)) > 0, F.col("n_grams")),
+                F.lit(0.0),
+            ).alias("dup_fraction"),
+        )
+    )

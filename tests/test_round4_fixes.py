@@ -607,3 +607,47 @@ def test_rebucket_preserves_state_and_serves_new_layout(spark, tmp_path):
         _FILE_CHURN_OPS,
     )
     assert "rebucket" in _FILE_CHURN_OPS
+
+
+def test_dup_span_stats_flags_boilerplate(spark):
+    """Duplicated-span hygiene: a boilerplate sentence shared across
+    docs is flagged at every position it occupies, unique text is not,
+    within-doc repetition counts per position, and short docs (< k
+    words) get (0, 0, 0.0)."""
+    from oregonwaterdataportal_etl_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"alpha beta gamma. {boiler}"),
+        (2, f"{boiler} delta epsilon zeta"),
+        (3, "totally unique text with no shared spans at all"),
+        (4, "tiny doc"),                       # < k words -> no grams
+        (5, f"{boiler} {boiler}"),             # within-doc repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_span_stats(df, k=3, min_docs=2).collect()
+    }
+    # doc 3 shares nothing
+    assert out[3]["dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc 4 has no trigrams at all
+    assert out[4] and (out[4]["n_grams"], out[4]["dup_grams"]) == (0, 0)
+    assert out[4]["dup_fraction"] == 0.0
+    # the boilerplate trigrams appear in docs 1, 2 and 5 -> flagged
+    assert out[1]["dup_grams"] >= 3 and out[2]["dup_grams"] >= 3
+    assert 0 < out[1]["dup_fraction"] < 1
+    # every position of doc 5 is boilerplate-derived (all grams occur in
+    # other docs or repeat within the doubled sentence)
+    assert out[5]["dup_fraction"] > out[1]["dup_fraction"]
+    # md5 family gives the same counts (hash family must not change
+    # semantics, only shuffle-key representation)
+    out_md5 = {
+        r["doc_id"]: r
+        for r in dedup.dup_span_stats(df, k=3, min_docs=2,
+                                      hash_family="md5").collect()
+    }
+    for i in out:
+        assert (out[i]["n_grams"], out[i]["dup_grams"]) == (
+            out_md5[i]["n_grams"], out_md5[i]["dup_grams"]
+        )
