@@ -552,6 +552,24 @@ def q_dup_span_fraction(spark, sf):
     return dedup.dup_span_stats(d, k=3, min_docs=2, hash_family="md5")
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style WITHIN-document repetition signals, zero shuffles
+    (pure expression tree over each row): duplicated word-trigram
+    position fraction and top-trigram dominance. md5 gram hashes so the
+    DuckDB oracle replicates the arithmetic bit-exactly (unrounded
+    int/int double divisions)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.dup_gram_fraction("text", k=3, hash_family="md5").alias(
+            "dup_gram_fraction"
+        ),
+        text.top_gram_fraction("text", k=3, hash_family="md5").alias(
+            "top_gram_fraction"
+        ),
+    )
+
+
 def q_embedding_neardup(spark, sf):
     """Embedding cosine near-dup via hyperplane buckets + in-bucket
     verify. The synthetic corpus has no true near-dups (max pairwise
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_span_fraction": q_dup_span_fraction,
+        "repetition_stats": q_repetition_stats,
         "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
@@ -1319,6 +1338,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN dup USING (doc_id)
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(array_to_string(words[i:i+2], ' ')), 1, 15)) AS BIGINT) AS gh
+              FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+              WHERE len(words) >= 3
+            ),
+            per AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY doc_id, gh),
+            agg AS (
+              SELECT doc_id, cast(sum(c) AS BIGINT) AS n,
+                     count(*) AS d, max(c) AS m
+              FROM per GROUP BY doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce((agg.n - agg.d) / agg.n, 0.0) AS dup_gram_fraction,
+                   coalesce(agg.m / agg.n, 0.0) AS top_gram_fraction
+            FROM documents doc LEFT JOIN agg USING (doc_id)
         """,
         "embedding_neardup": _embedding_neardup_sql(),
         # IVF probing all 16 cells must exactly reproduce brute force —

@@ -135,3 +135,64 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def _word_gram_hashes(col: Column | str, k: int, hash_family: str) -> Column:
+    """Positional word k-gram hash array (NOT deduplicated), same text
+    normalization as word_ngrams. 8-byte longs so downstream array ops
+    never touch gram strings. hash_family 'md5' uses the cross-engine
+    md5-prefix form (DuckDB-replicable); 'xxhash64' is the fast path."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))), " ")
+    n = F.size(words)
+    gram = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
+    h = (
+        (lambda i: md5_prefix_fingerprint(gram(i)))
+        if hash_family == "md5"
+        else (lambda i: F.xxhash64(gram(i)))
+    )
+    return F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), h)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def dup_gram_fraction(col: Column | str, k: int = 3,
+                      hash_family: str = "xxhash64") -> Column:
+    """Gopher-style WITHIN-document repetition: fraction of word k-gram
+    positions that repeat an earlier gram of the same doc —
+    (n - distinct) / n. Expression-only (no shuffle, no explode);
+    0.0 for docs shorter than k words."""
+    g = _word_gram_hashes(col, k, hash_family)
+    n = F.size(g)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(g))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_gram_fraction(col: Column | str, k: int = 3,
+                      hash_family: str = "xxhash64") -> Column:
+    """Gopher-style top-n-gram dominance: occurrences of the MOST
+    FREQUENT word k-gram divided by total positions. Computed as the
+    longest equal-run of the SORTED gram-hash array via one aggregate()
+    fold with a (prev, run, best) struct accumulator — expression-only,
+    no shuffle, no explode. 0.0 for docs shorter than k words."""
+    g = F.sort_array(_word_gram_hashes(col, k, hash_family))
+    n = F.size(g)
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.cast("int").alias("run"),
+            F.greatest(acc["best"], run).cast("int").alias("best"),
+        )
+
+    best = F.aggregate(g, init, step, lambda acc: acc["best"])
+    return F.when(n > 0, best / n).otherwise(F.lit(0.0))

@@ -651,3 +651,29 @@ def test_dup_span_stats_flags_boilerplate(spark):
         assert (out[i]["n_grams"], out[i]["dup_grams"]) == (
             out_md5[i]["n_grams"], out_md5[i]["dup_grams"]
         )
+
+
+def test_repetition_fractions_within_doc(spark):
+    """Within-doc repetition metrics (expression-only, no shuffle):
+    exact fractions on crafted docs, 0.0 below k words, plan stays
+    fully codegen (no exchange, no Python eval)."""
+    from oregonwaterdataportal_etl_spark.functions import text as X
+
+    rows = [
+        (1, "a b c a b c a b c"),            # 7 grams, 3 distinct, top=3
+        (2, "all words here are different ones"),  # 4 grams, all unique
+        (3, "x y"),                          # < k words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id",
+        X.dup_gram_fraction("text").alias("dup"),
+        X.top_gram_fraction("text").alias("top"),
+    )
+    got = {r["doc_id"]: (r["dup"], r["top"]) for r in out.collect()}
+    assert got[1] == (4 / 7, 3 / 7)
+    assert got[2] == (0.0, 1 / 4)
+    assert got[3] == (0.0, 0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
