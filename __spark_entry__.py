@@ -552,6 +552,18 @@ def q_dup_span_fraction(spark, sf):
     return dedup.dup_span_stats(d, k=3, min_docs=2, hash_family="md5")
 
 
+def q_decontaminate(spark, sf):
+    """GPT-3-style benchmark decontamination: flag training docs
+    sharing ANY word 13-gram with a benchmark corpus (here: every 50th
+    document stands in for the eval set — its members and their exact/
+    near copies in the corpus must come back contaminated). Benchmark
+    gram set broadcasts; the corpus is scanned once. md5 gram family
+    for the value-checked oracle."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dedup.decontaminate(d, bench, k=13, hash_family="md5")
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style WITHIN-document repetition signals, zero shuffles
     (pure expression tree over each row): duplicated word-trigram
@@ -720,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_span_fraction": q_dup_span_fraction,
         "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
@@ -1338,6 +1351,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN dup USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(array_to_string(words[i:i+12], ' ')), 1, 15)) AS BIGINT) AS gh
+              FROM w, UNNEST(generate_series(1, len(words) - 12)) AS t(i)
+              WHERE len(words) >= 13
+            ),
+            bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT doc_id, count(*) AS contaminated_grams
+              FROM g JOIN bg USING (gh) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "repetition_stats": """
             WITH w AS (

@@ -538,3 +538,60 @@ def dup_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 13,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style 13-gram rule): flag
+    training documents sharing ANY word k-gram with an evaluation/
+    benchmark corpus, so they can be dropped before training. Returns
+    (id, contaminated_grams, contaminated) per training doc.
+
+    Shape at 100 TB: the benchmark side is tiny (eval sets are
+    thousands of docs), so its DISTINCT gram-hash set broadcasts — the
+    training corpus is scanned ONCE, its grams never shuffle (the
+    explode feeds a broadcast semi-join, then a per-doc aggregate whose
+    clustering comes from the doc scan). The default k=13 follows the
+    published GPT-3 appendix-C rule; lower it toward 8 for stricter
+    filtering.
+
+    hash_family="md5" makes the gram hashing DuckDB-replicable for the
+    value-checked oracle; a collision perturbs both engines identically
+    (and at xxhash64 scale a false positive merely drops one clean
+    doc — the conservative direction for decontamination)."""
+    from ..functions.text import _word_gram_hashes
+
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(_word_gram_hashes(F.col(text_col), k, hash_family)).alias("__g"),
+    )
+    bg = benchmark.select(
+        F.explode(
+            _word_gram_hashes(F.col(bench_text_col), k, hash_family)
+        ).alias("__g")
+    ).distinct()
+    hits = (
+        dg.join(F.broadcast(bg), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("contaminated_grams", F.lit(0)).alias(
+                "contaminated_grams"
+            ),
+            (F.coalesce("contaminated_grams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

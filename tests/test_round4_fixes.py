@@ -677,3 +677,31 @@ def test_repetition_fractions_within_doc(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Decontamination: docs sharing a 13-gram with the benchmark are
+    flagged (verbatim copies and superstring leaks), clean docs are
+    not, short docs cannot match, and the benchmark gram side rides a
+    broadcast join (no corpus-side gram shuffle)."""
+    from oregonwaterdataportal_etl_spark.operators import dedup
+
+    leak = " ".join(f"w{i}" for i in range(15))         # 15-word passage
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text then the leak {leak} and an outro"),
+            (2, leak),                                   # verbatim copy
+            (3, " ".join(f"z{i}" for i in range(30))),   # clean
+            (4, "too short to hold any thirteen gram"),  # < 13 words
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    out = dedup.decontaminate(docs, bench, k=13)
+    got = {r["doc_id"]: (r["contaminated"], r["contaminated_grams"])
+           for r in out.collect()}
+    assert got[1][0] is True and got[1][1] == 3   # 15-word window -> 3 grams
+    assert got[2][0] is True and got[2][1] == 3
+    assert got[3] == (False, 0) and got[4] == (False, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
