@@ -552,6 +552,23 @@ def q_dup_span_fraction(spark, sf):
     return dedup.dup_span_stats(d, k=3, min_docs=2, hash_family="md5")
 
 
+def q_hash_split(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment plus a stable
+    50% down-sample flag per document (functions/scalar.hash_split /
+    hash_sample): pure expression, order/partitioning-independent, and
+    the md5-band arithmetic is replicated verbatim by the oracle —
+    the property that matters is that BOTH engines assign every key
+    identically."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        scalar.hash_split(
+            "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).alias("split"),
+        scalar.hash_sample("doc_id", 0.5).alias("kept_half"),
+    )
+
+
 def q_decontaminate(spark, sf):
     """GPT-3-style benchmark decontamination: flag training docs
     sharing ANY word 13-gram with a benchmark corpus (here: every 50th
@@ -733,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_fraction": q_dup_span_fraction,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
         "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
@@ -1351,6 +1369,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN dup USING (doc_id)
+        """,
+        "hash_split": """
+            WITH h AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(concat(cast(doc_id AS VARCHAR), 'split')), 1, 15)) AS BIGINT) % 1000000 AS hs,
+                     cast(concat('0x', substr(md5(concat(cast(doc_id AS VARCHAR), 'sample')), 1, 15)) AS BIGINT) % 1000000 AS hk
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN hs < 800000 THEN 'train'
+                        WHEN hs < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   hk < 500000 AS kept_half
+            FROM h
         """,
         "decontaminate": """
             WITH w AS (

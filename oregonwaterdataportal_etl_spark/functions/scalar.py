@@ -142,3 +142,54 @@ def coords(lon: Column | str, lat: Column | str, elevation: Column | str | None 
     return F.when(z.isNotNull(), F.array(x, y, z.cast("double"))).otherwise(
         F.array(x, y)
     )
+
+
+def hash_split(col: Column | str, fractions: dict[str, float],
+               seed: str = "split", resolution: int = 1_000_000) -> Column:
+    """Deterministic train/val/test assignment: md5-hash the key with a
+    salt, take it mod `resolution`, and map cumulative fraction bands
+    to split labels. Stable across runs, machines and engines (the
+    md5-prefix arithmetic is ANSI-replicable), independent of row
+    order and partitioning — the properties random() splits lack.
+    Fractions must sum to 1 (±1e-9); bands are assigned in dict order.
+
+    100-TB shape: pure expression, no shuffle; downstream writers
+    partitionBy the label. Same-keyed rows always land in the same
+    split, so keying by document/conversation id prevents
+    train/eval leakage of near-identical rows."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(seed))), 1, 15),
+               16, 10).cast("long"),
+        F.lit(resolution),
+    )
+    out = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(int(round(cum * resolution)))
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (F.lit(last) if out is None else out.otherwise(F.lit(last))).alias("split")
+
+
+def hash_sample(col: Column | str, fraction: float, seed: str = "sample",
+                resolution: int = 1_000_000) -> Column:
+    """Deterministic keep/drop predicate for down-sampling: TRUE for
+    the stable `fraction` of keys (same salt + md5 machinery as
+    hash_split). Use per-group fractions for data-mix rebalancing:
+    `df.filter(when(domain == 'web', hash_sample(id, 0.3)).otherwise(
+    hash_sample(id, 1.0)))` keeps a deterministic 30% of web docs."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(seed))), 1, 15),
+               16, 10).cast("long"),
+        F.lit(resolution),
+    )
+    return h < F.lit(int(round(fraction * resolution)))

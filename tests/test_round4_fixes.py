@@ -705,3 +705,38 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert got[3] == (False, 0) and got[4] == (False, 0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_split_deterministic_and_leakage_safe(spark):
+    """Deterministic splits: same key -> same label across runs and
+    DataFrames (no train/eval leakage for keyed rows), fractions land
+    near their targets at n=2000, repartitioning changes nothing,
+    hash_sample(f) subsets nest (kept at 0.3 => kept at 0.6), and bad
+    fractions raise."""
+    import pytest as _pt
+
+    from oregonwaterdataportal_etl_spark.functions import scalar as S
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    lab = df.select(
+        "k", S.hash_split("k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    a = {r["k"]: r["split"] for r in lab.collect()}
+    b = {r["k"]: r["split"]
+         for r in df.repartition(17).select(
+             "k", S.hash_split("k", {"train": 0.8, "val": 0.1, "test": 0.1})
+         ).collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    k3 = {r["k"] for r in df.filter(S.hash_sample("k", 0.3)).collect()}
+    k6 = {r["k"] for r in df.filter(S.hash_sample("k", 0.6)).collect()}
+    assert k3 < k6  # bands nest: smaller fraction is a subset
+    assert abs(len(k6) / 2000 - 0.6) < 0.05
+    with _pt.raises(ValueError, match="sum to 1"):
+        S.hash_split("k", {"a": 0.5, "b": 0.4})
+    with _pt.raises(ValueError, match="fraction"):
+        S.hash_sample("k", 1.5)
