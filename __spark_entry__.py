@@ -31,6 +31,7 @@ from oregonwaterdataportal_etl_spark.operators import (
     dedup,
     relational,
     similarity,
+    transcripts,
 )
 
 
@@ -552,6 +553,33 @@ def q_dup_span_fraction(spark, sf):
     return dedup.dup_span_stats(d, k=3, min_docs=2, hash_family="md5")
 
 
+def q_conversation_fingerprint(spark, sf):
+    """Whole-conversation exact dedup key (operators/transcripts):
+    each stream's events assembled in event order (struct-sort inside
+    the row, ONE groupBy shuffle, no global sort) and fingerprinted.
+    md5 family so DuckDB replicates it as
+    md5(string_agg(props, US ORDER BY event_id))."""
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("props").alias("text"),
+    )
+    return transcripts.conversation_fingerprint(ev, hash_family="md5")
+
+
+def q_conversation_stats(spark, sf):
+    """Per-conversation shape statistics (curriculum/filter signals):
+    one groupBy, map-side partial aggregation."""
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("role"),
+        F.when(F.col("event_type") == "click", F.col("props")).alias("tool"),
+    )
+    return transcripts.conversation_stats(ev)
+
+
 def q_hash_split(spark, sf):
     """Deterministic 80/10/10 train/val/test assignment plus a stable
     50% down-sample flag per document (functions/scalar.hash_split /
@@ -751,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
+        "conversation_fingerprint": q_conversation_fingerprint,
+        "conversation_stats": q_conversation_stats,
         "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
@@ -1369,6 +1399,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN dup USING (doc_id)
+        """,
+        "conversation_fingerprint": """
+            SELECT user_id AS conv_id,
+                   cast(concat('0x', substr(md5(
+                     string_agg(props, chr(31) ORDER BY event_id)
+                   ), 1, 15)) AS BIGINT) AS fingerprint
+            FROM events GROUP BY user_id
+        """,
+        "conversation_stats": """
+            SELECT user_id AS conv_id,
+                   count(*) AS n_turns,
+                   sum(length(coalesce(props, ''))) AS total_chars,
+                   count(DISTINCT event_type) AS n_roles,
+                   count(CASE WHEN event_type = 'click' THEN props END)
+                     AS tool_calls,
+                   max(event_id) AS max_turn_idx
+            FROM events GROUP BY user_id
         """,
         "hash_split": """
             WITH h AS (

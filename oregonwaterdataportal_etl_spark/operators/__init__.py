@@ -1,3 +1,3 @@
-from . import asof, dedup, relational, similarity
+from . import asof, dedup, relational, similarity, transcripts
 
-__all__ = ["asof", "dedup", "relational", "similarity"]
+__all__ = ["asof", "dedup", "relational", "similarity", "transcripts"]

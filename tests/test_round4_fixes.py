@@ -740,3 +740,49 @@ def test_hash_split_deterministic_and_leakage_safe(spark):
         S.hash_split("k", {"a": 0.5, "b": 0.4})
     with _pt.raises(ValueError, match="fraction"):
         S.hash_sample("k", 1.5)
+
+
+def test_conversation_ops_order_independent(spark):
+    """Conversation assembly is delivery-order independent (struct sort
+    inside the row), the fingerprint collapses identical conversations
+    and separates a one-character difference, stats detect turn gaps,
+    and the plan has exactly one exchange (the groupBy) — no global
+    sort."""
+    from oregonwaterdataportal_etl_spark.operators import transcripts
+
+    turns = [
+        ("c1", 0, "hello", "user", None),
+        ("c1", 1, "hi there", "assistant", None),
+        ("c1", 2, "run it", "user", "bash"),
+        ("c2", 0, "hello", "user", None),       # same content as c1...
+        ("c2", 1, "hi there", "assistant", None),
+        ("c2", 2, "run it", "user", "bash"),
+        ("c3", 0, "hello", "user", None),       # ...c3 differs by 1 char
+        ("c3", 1, "hi there", "assistant", None),
+        ("c3", 2, "run it!", "user", "bash"),
+        ("c4", 0, "solo", "user", None),
+        ("c4", 5, "gap", "user", None),         # missing turns 1-4
+    ]
+    cols = ["conv_id", "turn_idx", "text", "role", "tool"]
+    df = spark.createDataFrame(turns, cols)
+    shuffled = spark.createDataFrame(list(reversed(turns)), cols).repartition(7)
+
+    txt = {r["conv_id"]: r["full_text"]
+           for r in transcripts.conversation_text(df).collect()}
+    assert txt["c1"] == "hello\nhi there\nrun it"
+    txt2 = {r["conv_id"]: r["full_text"]
+            for r in transcripts.conversation_text(shuffled).collect()}
+    assert txt == txt2  # delivery order must not matter
+
+    fp = {r["conv_id"]: r["fingerprint"]
+          for r in transcripts.conversation_fingerprint(df).collect()}
+    assert fp["c1"] == fp["c2"] and fp["c1"] != fp["c3"]
+
+    st = {r["conv_id"]: r for r in transcripts.conversation_stats(df).collect()}
+    assert st["c1"]["n_turns"] == 3 and st["c1"]["tool_calls"] == 1
+    assert st["c1"]["n_roles"] == 2
+    assert st["c4"]["max_turn_idx"] + 1 > st["c4"]["n_turns"]  # gap
+
+    out = transcripts.conversation_fingerprint(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Sort" not in plan.split("Exchange")[0]
