@@ -553,6 +553,26 @@ def q_dup_span_fraction(spark, sf):
     return dedup.dup_span_stats(d, k=3, min_docs=2, hash_family="md5")
 
 
+def q_redact_pii(spark, sf):
+    """PII scrub (functions/text.redact_pii): emails, SSNs, IPv4s and
+    phone-shaped digit runs masked with [KIND] tokens, one fused
+    regexp_replace chain (no UDF). Each doc gets deterministic planted
+    PII derived from its id so the cross-engine comparison is
+    non-trivial; the patterns use a dialect-neutral regex subset so
+    Java (Spark) and RE2 (DuckDB) agree on every match."""
+    d = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select("doc_id", text.redact_pii(planted).alias("redacted"))
+
+
 def q_conversation_fingerprint(spark, sf):
     """Whole-conversation exact dedup key (operators/transcripts):
     each stream's events assembled in event order (struct-sort inside
@@ -779,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
+        "redact_pii": q_redact_pii,
         "conversation_fingerprint": q_conversation_fingerprint,
         "conversation_stats": q_conversation_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -1399,6 +1420,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN dup USING (doc_id)
+        """,
+        "redact_pii": """
+            WITH p AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', cast(doc_id AS VARCHAR),
+                            '@example.com from 10.0.',
+                            cast(doc_id % 256 AS VARCHAR), '.9 ssn 123-45-',
+                            lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+                       '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IPV4]', 'g'),
+                     '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[PHONE]', 'g')
+                     AS redacted
+            FROM p
         """,
         "conversation_fingerprint": """
             SELECT user_id AS conv_id,

@@ -196,3 +196,29 @@ def top_gram_fraction(col: Column | str, k: int = 3,
 
     best = F.aggregate(g, init, step, lambda acc: acc["best"])
     return F.when(n > 0, best / n).otherwise(F.lit(0.0))
+
+
+# PII patterns deliberately restricted to a dialect-neutral subset
+# (character classes, counted repetition, alternation — no lookaround,
+# no \b): identical semantics under Java regex (Spark) and RE2-style
+# engines (DuckDB), so redaction is value-checkable cross-engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] = ("email", "ssn", "ipv4", "phone")) -> Column:
+    """Mask common PII shapes with [KIND] tokens — the pre-training
+    scrub pass. Patterns apply in the given order (ssn before phone
+    where both could match digit runs); each is a global
+    regexp_replace, so the whole redaction is one fused expression
+    chain (codegen, no UDF). Heuristic by design: catches the common
+    literal shapes, not every obfuscation — layer an NER pass for
+    higher recall on a real cluster."""
+    out = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

@@ -786,3 +786,28 @@ def test_conversation_ops_order_independent(spark):
     out = transcripts.conversation_fingerprint(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Sort" not in plan.split("Exchange")[0]
+
+
+def test_redact_pii_masks_common_shapes(spark):
+    """PII scrub: emails (plus-addressing, subdomains), SSNs, IPv4s and
+    spaced/parenthesized phone numbers are masked; clean prose and
+    short digit runs survive; the chain is pure expression (no UDF)."""
+    from oregonwaterdataportal_etl_spark.functions import text as X
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "call +1 (503) 555-0142 today"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "host 10.0.255.7 up"),
+        (5, "clean prose with the year 2024 and room 12 only"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = df.select("id", X.redact_pii("t").alias("r"))
+    got = {r["id"]: r["r"] for r in out.collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "ssn [SSN] leaked"
+    assert got[4] == "host [IPV4] up"
+    assert got[5] == rows[4][1]  # untouched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
