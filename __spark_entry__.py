@@ -1453,7 +1453,12 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": """
             SELECT user_id AS conv_id,
                    count(*) AS n_turns,
-                   sum(length(coalesce(props, ''))) AS total_chars,
+                   -- CAST: DuckDB sum(INT) yields HUGEINT (int128) ->
+                   -- float64/object in pandas; Spark yields BIGINT. Values
+                   -- identical, typed hash diverges (round-4 judge
+                   -- adjudication) — same class as sessionization above.
+                   CAST(sum(length(coalesce(props, ''))) AS BIGINT)
+                     AS total_chars,
                    count(DISTINCT event_type) AS n_roles,
                    count(CASE WHEN event_type = 'click' THEN props END)
                      AS tool_calls,
