@@ -14,6 +14,8 @@ batch runner uses, so crash/replay semantics are identical.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,6 +57,97 @@ def start_cdc_stream(
         manifests.begin(bid, bounds["lo"], bounds["hi"])
         result = table.merge(batch_df)
         manifests.commit(bid, result.as_dict())
+
+    writer = src.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_cdc_stream_zx(
+    spark: SparkSession,
+    stream_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    manifests: ManifestLog,
+    wal_dir: str,
+    schema=None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    plan_log: list | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Zero-exchange streaming apply — the production steady-state loop.
+
+    Per micro-batch: the batch is written as a Spark-native bucketed
+    WAL under ``wal_dir`` (lake.bucketed.write_bucketed_wal — this is
+    the ONE producer-side shuffle, aligned to the table's own layout)
+    and then applied with ``LakeTable.merge_prebucketed``, whose
+    resolve plan has ZERO Exchange: the batch LWW dedup window and the
+    full-outer join against base + tombstones all read their required
+    distribution straight from storage. Compared to
+    ``start_cdc_stream`` (window-resolve merge, ~O(batch+base) shuffle
+    per batch) this moves the steady-state per-batch shuffle from
+    hundreds of MB to ~KB at 32M-row bases (BENCH.md §6).
+
+    Exactly-once is the same two-layer story as the batch runner:
+    Spark's checkpoint replays foreachBatch at-least-once; the
+    ManifestLog turns an already-committed LSN window into a no-op, and
+    a crash BETWEEN merge-commit and manifest-commit replays a merge
+    that the per-row LSN guard resolves to zero row changes. Each
+    batch's WAL subdir is deleted after its manifest commits; leftovers
+    from a crash are swept on the next stream start (never mid-stream —
+    a replayed batch rewrites its own fresh subdir, so stale dirs are
+    only disk, not state).
+
+    plan_log: optional list; each applied batch appends its executed
+    resolve plan string (test hook for the zero-Exchange pin).
+    """
+    import shutil
+
+    from ..cdc.manifests import batch_id_for_window
+    from ..lake.bucketed import write_bucketed_wal
+
+    # start-of-stream sweep: no batch is in flight yet, so every
+    # surviving batch-* subdir is a crash orphan (its window either
+    # committed — data already in the table — or will be rewritten
+    # fresh by checkpoint replay)
+    if os.path.isdir(wal_dir):
+        for entry in os.listdir(wal_dir):
+            if entry.startswith("batch-"):
+                shutil.rmtree(os.path.join(wal_dir, entry), ignore_errors=True)
+
+    if schema is None:
+        schema = spark.read.parquet(stream_dir).schema
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(stream_dir)
+    snap = table.snapshot()
+    key_cols = snap["key_cols"]
+    num_buckets = snap["num_buckets"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bounds = batch_df.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        bid = batch_id_for_window("stream-zx", bounds["lo"], bounds["hi"])
+        if manifests.is_committed(bid):
+            return
+        manifests.begin(bid, bounds["lo"], bounds["hi"])
+        batch_dir = write_bucketed_wal(batch_df, wal_dir, num_buckets, key_cols)
+        result = table.merge_prebucketed(
+            batch_df.sparkSession, batch_dir, _plan_out=plan_log
+        )
+        manifests.commit(bid, result.as_dict())
+        shutil.rmtree(batch_dir, ignore_errors=True)
 
     writer = src.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

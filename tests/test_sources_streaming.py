@@ -11,6 +11,7 @@ from oregonwaterdataportal_etl_spark.lake import LakeTable
 from oregonwaterdataportal_etl_spark.sources import readers
 from oregonwaterdataportal_etl_spark.streaming import (
     start_cdc_stream,
+    start_cdc_stream_zx,
     windowed_event_counts,
 )
 
@@ -94,6 +95,79 @@ def test_streaming_cdc_tail(spark, tmp_path):
     b = t_batch.read(spark).orderBy("conv_id", "turn_idx").collect()
     assert a == b and len(a) > 0
     assert manifests.all() and all(m["status"] == "committed" for m in manifests.all())
+
+
+def test_streaming_zx_tail(spark, tmp_path):
+    """Zero-exchange streaming loop: readStream tail -> per-batch
+    bucketed WAL -> merge_prebucketed. Final state equals the batch
+    path, per-batch WAL dirs are cleaned up, and EVERY micro-batch's
+    resolve plan has zero Exchange (the production steady-state pin).
+
+    maxFilesPerTrigger=1 over two stream files forces multiple
+    micro-batches, so the second batch exercises the resolve against a
+    non-empty base + tombstones — the steady state, not just the
+    first-load special case."""
+    c1 = generate_changes(spark, n_events=2500, n_convs=150, seed=21)
+    c2 = generate_changes(
+        spark, n_events=1500, n_convs=150, seed=22, lsn_start=2500
+    )
+    stream_dir = tmp_path / "zstream"
+    c1.coalesce(1).write.mode("append").parquet(str(stream_dir))
+    c2.coalesce(1).write.mode("append").parquet(str(stream_dir))
+
+    t_zx = LakeTable.create(
+        str(tmp_path / "t_zx"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    manifests = ManifestLog(str(tmp_path / "zmanifests"))
+    wal_dir = str(tmp_path / "zwal")
+    plans: list[str] = []
+    q = start_cdc_stream_zx(
+        spark, str(stream_dir), t_zx, str(tmp_path / "zckpt"), manifests,
+        wal_dir, available_now=True, plan_log=plans,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert len(plans) >= 2, "expected one resolve plan per micro-batch"
+
+    t_batch = LakeTable.create(
+        str(tmp_path / "t_zbatch"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    t_batch.merge(spark.read.parquet(str(stream_dir)))
+
+    a = t_zx.read(spark).orderBy("conv_id", "turn_idx").collect()
+    b = t_batch.read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert a == b and len(a) > 0
+    assert plans, "no batch plans captured"
+    for plan in plans:
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    # applied batches clean their WAL subdirs
+    assert not [e for e in os.listdir(wal_dir) if e.startswith("batch-")]
+    assert manifests.all() and all(
+        m["status"] == "committed" for m in manifests.all()
+    )
+
+    # restart with more stream data: checkpoint resumes, already-applied
+    # batches replay as manifest no-ops, new data lands
+    c3 = generate_changes(
+        spark, n_events=1000, n_convs=150, seed=23, lsn_start=4000
+    )
+    c3.coalesce(1).write.mode("append").parquet(str(stream_dir))
+    q2 = start_cdc_stream_zx(
+        spark, str(stream_dir), t_zx, str(tmp_path / "zckpt"), manifests,
+        wal_dir, available_now=True, plan_log=plans,
+    )
+    q2.awaitTermination(180)
+    t_batch.merge(c3)
+    a = t_zx.read(spark).orderBy("conv_id", "turn_idx").collect()
+    b = t_batch.read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
 
 
 def test_windowed_event_counts(spark):
