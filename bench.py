@@ -51,6 +51,91 @@ from oregonwaterdataportal_etl_spark.cdc.changegen import (  # noqa: E402
     TRANSCRIPT_DICT_COLS as DICT_COLS,
 )
 
+def cpu_probe() -> float:
+    """Fixed single-thread work unit (20M-iteration integer loop),
+    returns ns/iter. The host's effective clock varies across sessions
+    (BENCH.md §4: external tenants, measured 1.6-2.1x uniform drift on
+    code-identical queries between rounds 3 and 4) — this probe rides
+    in every bench JSON so a reader can normalize absolute seconds
+    across host windows before calling anything a regression."""
+    n = 20_000_000
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    dt = time.perf_counter() - t0
+    return round(dt / n * 1e9, 2)
+
+
+def _baseline_rev() -> str | None:
+    """The code baseline to A/B against: $BENCH_BASELINE_REV, else the
+    latest driver round-boundary commit ('round N: ...'), i.e. the
+    previous round's code."""
+    rev = os.environ.get("BENCH_BASELINE_REV")
+    if rev:
+        return rev
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--grep=^round ", "--format=%H", "-1"],
+            capture_output=True, text=True, timeout=30,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        rev = out.stdout.strip()
+        return rev or None
+    except Exception:
+        return None
+
+
+def _run_bench_subprocess(bench_dir: str) -> dict | None:
+    """Run ``bench.py`` from ``bench_dir`` in its own process (own JVM;
+    never concurrent with another session) and parse its JSON line."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["BENCH_NO_BASELINE"] = "1"  # sub-draws must not recurse
+    env.pop("PYTHONPATH", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(bench_dir, "bench.py")],
+            capture_output=True, text=True, timeout=3600, cwd=bench_dir,
+            env=env,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def run_baseline(rev: str) -> dict | None:
+    """Same-session prior-code draw: check the baseline rev out into a
+    temporary git worktree and run ITS bench.py in a subprocess.
+    Returns the parsed baseline JSON, or None on any failure — the
+    primary metrics must never be lost to the comparison's problems."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_baseline_wt_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, rev],
+            check=True, capture_output=True, timeout=120, cwd=repo,
+        )
+        return _run_bench_subprocess(wt)
+    except Exception:
+        return None
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            capture_output=True, timeout=60, cwd=repo,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def time_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -191,10 +276,57 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": int(cpus),
+        "cpu_probe_ns_per_iter": cpu_probe(),
         **cdc,
     }
-    print(json.dumps(out))
     spark.stop()
+
+    # same-session prior-round-code baseline (skippable with
+    # BENCH_NO_BASELINE=1): absolute seconds from different host
+    # windows are NOT comparable on this VM (round-4 lesson — a
+    # code-identical query drew 1.6-2.1x slower across rounds), and the
+    # FIRST draw of a session is itself anomalously slow (measured ~1.8x
+    # on back-to-back identical code), so the round-over-round ratio is
+    # computed from two WARM subprocess draws: current code first,
+    # baseline code second — the baseline gets the warmest slot, so
+    # any residual order bias makes the ratio read WORSE for the
+    # current code, never better. The primary value above remains the
+    # in-process draw, same protocol as every previous round.
+    if not os.environ.get("BENCH_NO_BASELINE"):
+        rev = _baseline_rev()
+        if rev:
+            repo = os.path.dirname(os.path.abspath(__file__))
+            cur = _run_bench_subprocess(repo)
+            base = run_baseline(rev)
+            if cur and base:
+                out["baseline_rev"] = rev[:12]
+                out["baseline_protocol"] = (
+                    "warm subprocess pair, current-then-baseline "
+                    "(order bias favors baseline); ratio = current/baseline"
+                )
+                out["baseline_value"] = base.get("value")
+                out["self_warm_value"] = cur.get("value")
+                bq, cq = base.get("queries", {}), cur.get("queries", {})
+                out["queries_ratio_vs_prev"] = {
+                    k: round(cq[k] / bq[k], 3)
+                    for k in cq
+                    if bq.get(k) and cq.get(k)
+                }
+                out["cdc_ratio_vs_prev"] = {
+                    k: round(cur[k] / base[k], 3)
+                    for k in (
+                        "cdc_apply_sec", "cdc_mor_apply_sec",
+                        "cdc_incr_apply_sec", "cdc_incr_mor_apply_sec",
+                        "cdc_incr_zx_apply_sec",
+                    )
+                    if base.get(k) and cur.get(k)
+                }
+                if base.get("value") and cur.get("value"):
+                    out["value_ratio_vs_prev"] = round(
+                        cur["value"] / base["value"], 3
+                    )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
