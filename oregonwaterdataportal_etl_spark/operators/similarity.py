@@ -96,9 +96,16 @@ def lsh_probe_buckets(
     query: list[float], bits: int = 8, seed: int = 7, probes: int = 1
 ) -> list[int]:
     """Buckets to probe for a query: its own hyperplane bucket plus the
-    `probes`-1 buckets flipping the smallest-|margin| bits (multi-probe
-    LSH). Factored out so the generated DuckDB oracle SQL uses the
-    EXACT same probe set as the Spark operator."""
+    `probes`-1 perturbed buckets with the smallest summed flip cost
+    (multi-probe LSH with FULL perturbation sets — any subset of bits
+    may flip, enumerated best-first by the heap construction of Lv et
+    al.'s multi-probe scheme, so ``probes`` is meaningful past
+    ``bits + 1``; the flip cost of a bit is its |margin|, the distance
+    from the query to that hyperplane). Factored out so the generated
+    DuckDB oracle SQL uses the EXACT same probe set as the Spark
+    operator."""
+    import heapq
+
     planes = _hyperplanes(len(query), bits, seed)
     margins = planes @ np.asarray(query, dtype=float)
     qbucket = 0
@@ -106,10 +113,32 @@ def lsh_probe_buckets(
         if margins[i] > 0:
             qbucket |= 1 << i
     order = np.argsort(np.abs(margins))
+    cost = np.abs(margins)[order]  # ascending flip costs
     buckets = [qbucket]
-    for j in range(max(probes - 1, 0)):
-        if j < bits:
-            buckets.append(qbucket ^ (1 << int(order[j])))
+    if probes <= 1:
+        return buckets
+    # best-first subset enumeration over cost-sorted bits: each heap
+    # entry is (sum cost, subset-of-sorted-ranks); children of a subset
+    # whose max rank is r are "extend with r+1" and "shift r to r+1" —
+    # every non-empty subset is generated exactly once, in cost order
+    heap = [(float(cost[0]), (0,))]
+    seen = 0
+    while heap and seen < probes - 1:
+        c, subset = heapq.heappop(heap)
+        flip = 0
+        for rank in subset:
+            flip |= 1 << int(order[rank])
+        buckets.append(qbucket ^ flip)
+        seen += 1
+        r = subset[-1]
+        if r + 1 < bits:
+            heapq.heappush(
+                heap, (c + float(cost[r + 1]), subset + (r + 1,))
+            )
+            heapq.heappush(
+                heap,
+                (c - float(cost[r]) + float(cost[r + 1]), subset[:-1] + (r + 1,)),
+            )
     return buckets
 
 

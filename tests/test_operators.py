@@ -217,6 +217,87 @@ def test_knn_join_block_path_matches_broadcast(spark, vectors):
     assert sorted(map(key, blk.collect())) == sorted(map(key, bc.collect()))
 
 
+def test_lsh_multiprobe_perturbation_sets():
+    """Multi-probe bucket enumeration: unique buckets, best-first by
+    summed flip cost, meaningful past bits+1 probes (multi-bit flips),
+    and probes=2^bits enumerates the whole bucket space."""
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(16)
+    q = [float(x) for x in q / np.linalg.norm(q)]
+    bits = 5
+    full = similarity.lsh_probe_buckets(q, bits=bits, probes=2 ** bits)
+    assert sorted(full) == list(range(2 ** bits))
+    some = similarity.lsh_probe_buckets(q, bits=bits, probes=12)
+    assert some == full[:12]  # deterministic best-first prefix
+    assert len(set(some)) == 12  # > bits+1 distinct buckets
+    from oregonwaterdataportal_etl_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(len(q), bits, 7)
+    m = planes @ np.asarray(q)
+    qb = full[0]
+
+    def cost(b):
+        flip = b ^ qb
+        return sum(abs(m[i]) for i in range(bits) if flip >> i & 1)
+
+    costs = [cost(b) for b in full]
+    assert all(a <= b + 1e-12 for a, b in zip(costs, costs[1:]))
+
+
+def test_ann_recall_bounds(spark):
+    """Recall discipline over a 500-vector corpus (driver sf0.001-scale
+    shape, deterministic): recall@10 is non-decreasing in probes for
+    both families, full probe reproduces brute force EXACTLY, and the
+    defaults clear honest floors on clustered-ish data (20 clusters +
+    noise — the regime ANN is for; uniform-random vectors have no
+    locality for ANY index)."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 16)) * 2.0
+    rows = []
+    for i in range(500):
+        c = centers[i % 20]
+        rows.append((i, [float(x) for x in c + rng.standard_normal(16) * 0.3]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    df.count()
+
+    def recall(topk_fn, probes_list, k=10, n_queries=5):
+        out = {}
+        for p in probes_list:
+            hits = 0
+            for qi in range(n_queries):
+                q = rows[qi * 97][1]
+                exact = {
+                    r["vec_id"]
+                    for r in similarity.brute_force_topk(df, q, k=k).collect()
+                }
+                got = {
+                    r["vec_id"] for r in topk_fn(df, q, p, k).collect()
+                }
+                hits += len(got & exact)
+            out[p] = hits / (n_queries * k)
+        return out
+
+    lsh = recall(
+        lambda d, q, p, k: similarity.lsh_topk(d, q, k=k, bits=5, probes=p),
+        [1, 8, 32],
+    )
+    assert lsh[1] <= lsh[8] + 1e-9 and lsh[8] <= lsh[32] + 1e-9
+    assert lsh[32] == 1.0  # probes=2^bits == full scan == brute force
+    assert lsh[8] >= 0.5, lsh
+
+    ivf = recall(
+        lambda d, q, p, k: similarity.ivf_topk(
+            d, q, k=k, n_centroids=16, probes=p
+        ),
+        [1, 4, 16],
+    )
+    assert ivf[1] <= ivf[4] + 1e-9 and ivf[4] <= ivf[16] + 1e-9
+    assert ivf[16] == 1.0  # full probe == brute force (the driver oracle)
+    assert ivf[4] >= 0.9, ivf
+
+
 # ------------------------------------------------------------------ as-of
 def test_asof_join_union_window(spark):
     left = spark.createDataFrame(
