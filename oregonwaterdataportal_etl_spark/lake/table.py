@@ -1795,7 +1795,7 @@ class LakeTable:
         ).withColumnRenamed("__cand", "__cand_b")
 
     @staticmethod
-    def _zx_winners(upd_side: DataFrame, base_side: DataFrame | None,
+    def _zx_winners(upd_side: DataFrame | None, base_side: DataFrame | None,
                     key_cols: list[str], nonkey: list) -> DataFrame:
         """Full-outer SHUFFLE_HASH join + greatest-of-candidates. With
         both scans reporting the same HashPartitioning the planner uses
@@ -1803,7 +1803,30 @@ class LakeTable:
         per-task sorts either (measured 10.2s SMJ -> 7.5s SHJ on the
         32M steady-state regime); build memory is one bucket's deduped
         update slice. Output columns match the window resolve's
-        contract: payload + __lsn/__tb1/__tb2/__op/__src/__all_chg."""
+        contract: payload + __lsn/__tb1/__tb2/__op/__src/__all_chg.
+
+        upd_side=None is the delta-FOLD degenerate case (zero-exchange
+        compaction): no update batch at all, the base/tomb/delta side's
+        per-key winner — already resolved by _zx_base_tomb_side's
+        no-exchange dedup window — passes straight through, no join."""
+        if upd_side is None:
+            assert base_side is not None
+            winner = F.col("__cand_b")
+            base_side_present = (
+                F.col("__had_bt").eqNullSafe(F.lit(True))
+                if "__had_bt" in base_side.columns
+                else F.lit(True)
+            )
+            return base_side.select(
+                *[F.col(c) for c in key_cols],
+                *[winner[f"p_{f.name}"].alias(f.name) for f in nonkey],
+                winner["l"].alias("__lsn"),
+                winner["t1"].alias("__tb1"),
+                winner["t2"].alias("__tb2"),
+                winner["op"].alias("__op"),
+                F.when(winner["ns"] == 0, 0).otherwise(1).alias("__src"),
+                F.when(base_side_present, 0).otherwise(1).alias("__all_chg"),
+            )
         if base_side is not None:
             joined = upd_side.hint("SHUFFLE_HASH").join(
                 base_side, on=key_cols, how="full_outer"
@@ -2000,6 +2023,55 @@ class LakeTable:
                     pass
             shutil.rmtree(reg_root, ignore_errors=True)
 
+    def _fold_deltas_zx(
+        self, spark: SparkSession, touched: list[int],
+        _plan_out: list | None = None,
+    ) -> MergeResult:
+        """Zero-exchange delta fold — compaction's MOR-fold step without
+        the merge shuffle. The touched buckets' base, tombstone and
+        delta files register as ONE catalog bucketed table
+        (_zx_base_tomb_side); its no-exchange dedup window resolves the
+        per-key winner; winners pass straight through (no update side,
+        no join — _zx_winners(None, ...)) into the shared _finalize_cow
+        tail. Measured motivation: at a 27.5M-row base / local[8], the
+        window-resolve fold inside compact() shuffled ~3 GB per pass
+        and dominated the MOR runner loop (BENCH.md §6b: 48-88s of each
+        compaction cycle); this path does the same state transition
+        with KB-level shuffle. Semantics identical to
+        merge(empty, _touched_override=touched): same candidate
+        encoding, same total order, same action metrics."""
+        import shutil
+
+        snap = self.snapshot()
+        key_cols: list[str] = snap["key_cols"]
+        evolved = T.StructType.fromJson(json.loads(snap["schema"]))
+        bexpr = self._bucket_expr(snap)
+        reg_root = os.path.join(self.path, "_bucketed", f"reg-{uuid.uuid4().hex}")
+        tables: list[str] = []
+        try:
+            nonkey = [f for f in evolved.fields if f.name not in key_cols]
+            base_side = self._zx_base_tomb_side(
+                spark, snap, touched, reg_root, tables, key_cols, nonkey
+            )
+            if base_side is None:
+                return MergeResult(version=snap["version"])
+            winners = self._zx_winners(None, base_side, key_cols, nonkey)
+            if _plan_out is not None:
+                _plan_out.append(
+                    winners._jdf.queryExecution().executedPlan().toString()
+                )
+            return self._finalize_cow(
+                spark, snap, evolved, {}, winners, touched, bexpr,
+                _operation_label="compact-fold",
+            )
+        finally:
+            for name in tables:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+                except Exception:
+                    pass
+            shutil.rmtree(reg_root, ignore_errors=True)
+
     def _merge_mor(self, spark, snap, upd_tagged, evolved, dicts, touched, bexpr) -> MergeResult:
         """Append path: within-batch LWW dedup, then per-bucket delta
         files carrying (_lsn, _op). No base read, no base rewrite."""
@@ -2155,6 +2227,7 @@ class LakeTable:
         spark: SparkSession,
         target_files_per_bucket: int = 1,
         min_delta_files: int = 1,
+        fold_strategy: str = "zx",
     ) -> int:
         """Bin-pack small files: rewrite every bucket that has more
         than target_files_per_bucket files into fewer, larger files.
@@ -2168,13 +2241,23 @@ class LakeTable:
         merge resolves LWW + tombstones and clears the delta list.
         min_delta_files selects WHICH buckets fold: only those carrying
         at least that many delta files (at 10^10 scale you fold the
-        read-amplified tail, not the whole table)."""
+        read-amplified tail, not the whole table).
+
+        fold_strategy='zx' (default) folds deltas through the
+        zero-exchange resolve (_fold_deltas_zx — KB-level shuffle
+        instead of re-shuffling the touched base; see DESIGN.md §13);
+        'window' keeps the original one-exchange merge fold."""
+        if fold_strategy not in ("zx", "window"):
+            raise ValueError(f"unknown fold_strategy {fold_strategy!r}")
         snap = self.snapshot()
         fold_buckets = [
             int(b) for b, fl in snap.get("deltas", {}).items()
             if len(fl) >= min_delta_files
         ]
-        if fold_buckets:
+        if fold_buckets and fold_strategy == "zx":
+            self._fold_deltas_zx(spark, fold_buckets)
+            snap = self.snapshot()
+        elif fold_buckets:
             # an empty updates batch + explicit touched set: merge's own
             # existing-deltas fold does the work, so delta files are read
             # once, not twice

@@ -351,3 +351,83 @@ def test_prebucketed_delta_fold_keeps_untouched_buckets(spark, tmp_path):
     # the fold is equivalent to compact-then-read on the survivors too
     zx.compact(spark)
     assert _state(spark, twin) == _state(spark, zx)
+
+
+def test_zx_delta_fold_equals_window_fold(spark, tmp_path):
+    """compact(fold_strategy='zx') — the zero-exchange delta fold —
+    reaches exactly the state of the original window-resolve fold
+    (same rows, no pending deltas, tombstones preserved), and the fold
+    plan itself carries zero Exchange. Covers base+delta overlap,
+    delta-only keys, deletes, and cross-batch equal-LSN limbs."""
+    win, zx = _twins(spark, tmp_path, name="fold")
+    b1 = _stream(spark, 3000, seed=61).localCheckpoint()
+    b2 = _stream(spark, 1500, seed=62, lsn_start=3000).localCheckpoint()
+    b3 = _stream(spark, 1200, seed=63, lsn_start=4500).localCheckpoint()
+    for t in (win, zx):
+        t.merge(b1)           # cow base
+        t.merge(b2, mode="mor")  # pending deltas on top
+        t.merge(b3, mode="mor")  # second delta layer (cross-batch ties)
+        assert t.snapshot().get("deltas")
+
+    win.compact(spark, fold_strategy="window")
+    plans = []
+    fold_buckets = [int(b) for b in zx.snapshot()["deltas"]]
+    zx._fold_deltas_zx(spark, fold_buckets, _plan_out=plans)
+    zx.compact(spark)  # bin-pack only: deltas already folded
+
+    assert not win.snapshot().get("deltas")
+    assert not zx.snapshot().get("deltas")
+    assert _state(spark, win) == _state(spark, zx)
+    # tombstones survive the fold on both paths
+    assert win.stats()["tombstone_files"] > 0
+    assert zx.stats()["tombstone_files"] > 0
+    plan = plans[0]
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+
+    # replay: folding again with no deltas is a metadata no-op
+    v = zx.snapshot()["version"]
+    zx.compact(spark)
+    assert zx.snapshot()["version"] == v
+
+    # and a later ordinary merge on the folded table behaves (LWW guard
+    # still wins over stale replays of already-folded LSNs)
+    b2_replay = b2
+    win.merge(b2_replay)
+    zx.merge(b2_replay)
+    assert _state(spark, win) == _state(spark, zx)
+
+
+def test_runner_mor_cadence_uses_zx_fold(spark, tmp_path):
+    """CdcRunner(mode='mor', compact_every=2): the maintenance cycle's
+    compact now folds via the zero-exchange path by default; final
+    state equals a clean one-shot window merge of the whole stream."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        CdcRunner, ManifestLog, OffsetLog,
+    )
+
+    stream = _stream(spark, 6000, seed=71).localCheckpoint()
+    stream_dir = str(tmp_path / "rstream")
+    stream.write.parquet(stream_dir)
+    t = LakeTable.create(
+        str(tmp_path / "rt"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    runner = CdcRunner(
+        t,
+        OffsetLog(str(tmp_path / "roff"), "s1"),
+        ManifestLog(str(tmp_path / "rman")),
+        source=lambda: spark.read.parquet(stream_dir),
+        mode="mor",
+        compact_every=2,
+    )
+    results = runner.run_available(window_size=1500)
+    assert len(results) == 4
+    assert not t.snapshot().get("deltas")
+    clean = LakeTable.create(
+        str(tmp_path / "rclean"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=NB
+    )
+    clean.merge(spark.read.parquet(stream_dir))
+    assert _state(spark, t) == _state(spark, clean)
+    ops = [t.snapshot(v)["summary"]["operation"]
+           for v in range(1, t.snapshot()["version"] + 1)]
+    assert "compact-fold" in ops
