@@ -243,6 +243,63 @@ def q_cdc_mixed_mode(spark, sf):
     return out
 
 
+def q_cdc_changelog(spark, sf):
+    """Incremental changelog emission (LakeTable.read_changes — the
+    Delta-CDF/Iceberg-changelog analog, the downstream-consumer half
+    of the CDC engine): events up to the midpoint LSN apply as a COW
+    merge (version A), the rest as a merge-on-read append, and the
+    engine emits the NET insert/update/delete set between A and the
+    head — resolving the pending deltas, classifying against A's live
+    state, and carrying delete pre-images. The oracle recomputes the
+    same diff from the raw stream in pure SQL, so misclassification,
+    a wrong pre/post-image, or a wrong commit LSN breaks the value
+    hash."""
+    import shutil
+    import tempfile
+
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.round("value", 4).alias("value"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    ).localCheckpoint(eager=True)
+    mid = ev.agg(F.floor(F.max("lsn") / 2).cast("long")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_changelog_")
+    try:
+        table = LakeTable.create(
+            os.path.join(tmp, "t"),
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("k", T.IntegerType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            key_cols=["user_id", "k"],
+            num_buckets=8,
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid))
+        va = table.current_version()
+        table.merge(ev.filter(F.col("lsn") > mid), mode="mor")
+        out = (
+            table.read_changes(spark, va)
+            .select(
+                "user_id", "k", F.round("value", 4).alias("value"),
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_lsn").alias("commit_lsn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_latest_per_key(spark, sf):
     """W2: top-1 latest per stream ($orderby desc take-first)."""
     ev = _t(spark, sf, "events")
@@ -768,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_tiebreak": q_lww_tiebreak,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_mixed_mode": q_cdc_mixed_mode,
+        "cdc_changelog": q_cdc_changelog,
         "latest_per_key": q_latest_per_key,
         "argmax_dedup": q_argmax_dedup,
         "first_wins_dedup": q_first_wins_dedup,
@@ -1159,6 +1217,43 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type != 'error'
+        """,
+        "cdc_changelog": """
+            WITH ev AS (
+              SELECT user_id,
+                     cast(json_extract(props, '$.k') AS int) AS k,
+                     event_id AS lsn, round(value, 4) AS value,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op
+              FROM events
+            ), -- floor on BOTH sides: DuckDB's cast-to-bigint ROUNDS
+            -- (4999.5 -> 5000) where Spark's cast truncates
+            mid AS (SELECT cast(floor(max(lsn) / 2) AS bigint) AS m FROM ev),
+            s1 AS (
+              SELECT user_id, k, value FROM (
+                SELECT user_id, k, value, op, row_number() OVER
+                  (PARTITION BY user_id, k ORDER BY lsn DESC) rn
+                FROM ev WHERE lsn <= (SELECT m FROM mid))
+              WHERE rn = 1 AND op <> 'delete'
+            ),
+            w2 AS (
+              SELECT user_id, k, value, op, lsn FROM (
+                SELECT user_id, k, value, op, lsn, row_number() OVER
+                  (PARTITION BY user_id, k ORDER BY lsn DESC) rn
+                FROM ev)
+              WHERE rn = 1
+            )
+            SELECT w2.user_id, w2.k,
+                   round(CASE WHEN w2.op = 'delete' THEN s1.value
+                              ELSE w2.value END, 4) AS value,
+                   CASE WHEN w2.op = 'delete' THEN 'delete'
+                        WHEN s1.user_id IS NULL THEN 'insert'
+                        ELSE 'update' END AS change_type,
+                   w2.lsn AS commit_lsn
+            FROM w2 LEFT JOIN s1
+              ON w2.user_id = s1.user_id AND w2.k = s1.k
+            WHERE w2.lsn > (SELECT m FROM mid)
+              AND NOT (w2.op = 'delete' AND s1.user_id IS NULL)
         """,
         "latest_per_key": """
             SELECT user_id, event_id, event_type

@@ -183,6 +183,31 @@ def versioned_commit(
         _fsync_dir(meta_dir)
 
 
+def _files_max_lsn(files: list[str]) -> int | None:
+    """Max ``_lsn`` across parquet footers — metadata only, no Spark
+    job (read_changes' high-watermark + touched-bucket pruning input).
+    None = a file lacks usable stats; callers fall back to a scan."""
+    import pyarrow.parquet as pq
+
+    out = None
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }.get(LSN_COL)
+            if idx is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                out = st.max if out is None else max(out, st.max)
+        except Exception:
+            return None
+    return out
+
+
 def latest_manifest_version(
     meta_dir: str, prefix: str, suffix: str = ".json"
 ) -> int | None:
@@ -520,6 +545,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         key_pred=None,
         n_buckets: int | None = None,
+        _internal_cols: bool = False,
     ) -> DataFrame:
         """Shared MOR read path for one PINNED snapshot version: base (+
         tombstones as base-side deletes) LWW-resolved against delta
@@ -534,7 +560,11 @@ class LakeTable:
         selects whole key-groups and cannot change any winner. A payload
         predicate here would silently promote stale events (their
         higher-LSN competitors get filtered out pre-window); payload
-        filters belong ABOVE read()."""
+        filters belong ABOVE read().
+
+        _internal_cols=True (read_changes' substrate) keeps the
+        per-key winner's `__lsn` and includes delete winners with a
+        `__deleted` flag instead of filtering them out."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         dicts = snap.get("dict_cols") or {}
@@ -543,6 +573,24 @@ class LakeTable:
             base = base.filter(key_pred)
         deltas = self._read_deltas(spark, snap, buckets=buckets)
         if deltas is None:
+            if _internal_cols:
+                live = base.select(
+                    *[F.col(f.name) for f in schema.fields],
+                    F.col(LSN_COL).alias("__lsn"),
+                    F.lit(False).alias("__deleted"),
+                )
+                tomb0 = self._read_tombstones(spark, snap, buckets=buckets)
+                if tomb0 is not None:
+                    if key_pred is not None:
+                        tomb0 = tomb0.filter(key_pred)
+                    live = live.unionByName(
+                        tomb0.select(
+                            *[F.col(f.name) for f in schema.fields],
+                            F.col(LSN_COL).alias("__lsn"),
+                            F.lit(True).alias("__deleted"),
+                        )
+                    )
+                return live
             return base.drop(LSN_COL, _TB1_COL, _TB2_COL)
 
         def tag(df, op_expr, src, filtered=False):
@@ -574,6 +622,12 @@ class LakeTable:
             base_tagged, upd_tagged, snap["key_cols"],
             n_buckets if n_buckets is not None else snap["num_buckets"],
         )
+        if _internal_cols:
+            return winners.select(
+                *self._payload_out(schema, dicts),
+                F.col("__lsn"),
+                F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE).alias("__deleted"),
+            )
         return winners.filter(
             ~F.col("__op").isin(_OP_DELETE, _OP_TOMBSTONE)
         ).select(*self._payload_out(schema, dicts))
@@ -763,6 +817,175 @@ class LakeTable:
             F.col(c).eqNullSafe(F.lit(key_values[c])) for c in key_cols
         )
         return self._resolved_view(spark, v, buckets=[b], key_pred=pred, n_buckets=1)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog between two snapshots — the downstream
+        half of a CDC engine (Delta Change Data Feed / Iceberg
+        changelog-scan analog): a consumer that processed the table at
+        ``from_version`` calls this to get exactly the NET row-level
+        changes it must apply to reach ``to_version``.
+
+        Output: the to_version payload columns plus
+        ``_change_type`` ('insert' | 'update' | 'delete') and
+        ``_commit_lsn`` (the winning event's LSN; deletes carry the
+        delete event's LSN). Updates and inserts carry the post-image;
+        deletes carry the from_version pre-image.
+
+        Cost scales with the CHANGE, not the table: from_version's
+        high-watermark comes from parquet footer stats (no job), and
+        only buckets whose per-bucket FILE LISTS differ between the two
+        snapshots participate (metadata-only diff; unchanged buckets'
+        refs carry forward verbatim, so an equal list proves no change
+        — and it still catches rows that vanished via tombstone
+        expiry, which footer-LSN pruning cannot see). The from-side
+        read prunes to the same buckets; the full-outer join runs over
+        touched buckets only.
+
+        Contract: LSNs applied between the versions must exceed
+        from_version's high-watermark (the CdcRunner window discipline;
+        arbitrary hand merges of past LSN ranges can change equal-LSN
+        tie winners invisibly to footer stats). Rebucketing between the
+        versions is supported — the from-side just reads unpruned
+        (bucket ids are not comparable across layouts)."""
+        v2 = self.current_version() if to_version is None else to_version
+        v1 = from_version
+        if v1 > v2:
+            raise ValueError(f"from_version {v1} > to_version {v2}")
+        snap1, snap2 = self.snapshot(v1), self.snapshot(v2)
+        schema2 = T.StructType.fromJson(json.loads(snap2["schema"]))
+        out_fields = T.StructType(
+            list(schema2.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_lsn", T.LongType(), True),
+            ]
+        )
+        empty = spark.createDataFrame([], out_fields)
+        if v1 == v2:
+            return empty
+
+        v1_files = [
+            f
+            for coll in (
+                snap1["files"], snap1.get("tombstones", {}), snap1.get("deltas", {}),
+            )
+            for fl in coll.values()
+            for f in fl
+        ]
+        wm1 = _files_max_lsn(v1_files)
+        if wm1 is None and v1_files:
+            # stats-less files (foreign writer): one column-pruned job
+            wm1 = (
+                spark.read.parquet(*v1_files)
+                .agg(F.max(LSN_COL).alias("m")).collect()[0]["m"]
+            )
+        if wm1 is None:
+            wm1 = -1  # empty from-version: everything in v2 is new
+
+        # touched buckets by FILE-LIST diff, not LSN footers: snapshots
+        # carry unchanged buckets' file refs forward verbatim, so an
+        # identical per-bucket file list proves the bucket cannot differ
+        # between the versions — while a bucket whose rows VANISHED
+        # (tombstone expiry) leaves no fresh-LSN trace for footer-based
+        # pruning to see, but always has a different file list.
+        # Maintenance churn (compact/fold rewrites) marks buckets
+        # touched too; the join then correctly yields no rows for them.
+        def bucket_sig(snap):
+            sig: dict[int, list[str]] = {}
+            for coll in (
+                snap["files"], snap.get("tombstones", {}),
+                snap.get("deltas", {}),
+            ):
+                for b, fl in coll.items():
+                    sig.setdefault(int(b), []).extend(sorted(fl))
+            return sig
+
+        if snap1["num_buckets"] == snap2["num_buckets"]:
+            s1, s2 = bucket_sig(snap1), bucket_sig(snap2)
+            touched = {b for b in set(s1) | set(s2) if s1.get(b) != s2.get(b)}
+        else:
+            touched = set(bucket_sig(snap2))  # rebucketed: incomparable
+        if not touched:
+            return empty
+        tb = sorted(touched)
+
+        cur = self._resolved_view(spark, v2, buckets=tb, _internal_cols=True)
+        prev_buckets = (
+            tb if snap1["num_buckets"] == snap2["num_buckets"] else None
+        )
+        prev = (
+            self._resolved_view(
+                spark, v1, buckets=prev_buckets, _internal_cols=True
+            )
+            .filter(~F.col("__deleted"))
+        )
+        key_cols: list[str] = snap2["key_cols"]
+        schema1_names = {
+            f.name for f in T.StructType.fromJson(json.loads(snap1["schema"])).fields
+        }
+        prev = prev.select(
+            # renamed keys + null-safe join condition: merge() matches
+            # null key values null-safely, so the changelog must too
+            *[F.col(c).alias(f"__pk_{c}") for c in key_cols],
+            *[
+                (
+                    F.col(f.name) if f.name in schema1_names
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f"__prev_{f.name}")
+                for f in schema2.fields
+                if f.name not in key_cols
+            ],
+            F.col("__lsn").alias("__prev_lsn"),
+        )
+        j = cur.join(
+            prev,
+            on=_and_all(
+                F.col(c).eqNullSafe(F.col(f"__pk_{c}")) for c in key_cols
+            ),
+            how="full_outer",
+        )
+
+        cur_missing = F.col("__lsn").isNull()
+        prev_present = F.col("__prev_lsn").isNotNull()
+        fresh = F.col("__lsn") > F.lit(wm1)
+        live = ~F.coalesce(F.col("__deleted"), F.lit(True))
+        change = (
+            F.when(live & fresh & ~prev_present, F.lit("insert"))
+            .when(live & fresh & prev_present, F.lit("update"))
+            # tombstone expired between versions: the delete is real
+            # even though its LSN is gone from v2's files
+            .when((cur_missing | ~live) & prev_present
+                  & (cur_missing | fresh), F.lit("delete"))
+        )
+        nonkey = [f for f in schema2.fields if f.name not in key_cols]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                # cur-missing (expired-tombstone delete) rows carry the
+                # key only on the prev side
+                *[
+                    F.coalesce(F.col(c), F.col(f"__pk_{c}")).alias(c)
+                    for c in key_cols
+                ],
+                *[
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.col(f"__prev_{f.name}"),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    for f in nonkey
+                ],
+                F.col("_change_type"),
+                F.col("__lsn").alias("_commit_lsn"),
+            )
+        )
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:

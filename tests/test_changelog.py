@@ -1,0 +1,168 @@
+"""LakeTable.read_changes — incremental changelog between snapshots
+(Delta CDF / Iceberg changelog analog). The reference has no changelog
+emission; this is the engine's downstream-consumer surface, value-gated
+in the driver via the `cdc_changelog` query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oregonwaterdataportal_etl_spark.cdc.changegen import (
+    TRANSCRIPT_SCHEMA,
+    generate_changes_pdf,
+)
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _stream(spark, n, seed, lsn_start=0, delete_rate=0.08):
+    pdf = generate_changes_pdf(
+        n, max(n // 30, 10), seed=seed, out_of_order=0.3,
+        delete_rate=delete_rate,
+    )
+    df = spark.createDataFrame(pdf)
+    if lsn_start:
+        df = df.withColumn("lsn", F.col("lsn") + lsn_start)
+    return df.localCheckpoint()
+
+
+def _brute_diff(spark, t, v1, v2):
+    """Expected net change set computed the dumb way from two full
+    time-travel reads."""
+    cols = ["conv_id", "turn_idx", "text", "role"]
+    a = t.read(spark, version=v1).select(*cols)
+    b = t.read(spark, version=v2).select(*cols)
+    ins = {tuple(r[:2]) for r in b.join(a.select(*KEYS), KEYS, "left_anti").collect()}
+    dele = {tuple(r[:2]) for r in a.join(b.select(*KEYS), KEYS, "left_anti").collect()}
+    upd = {
+        (r["conv_id"], r["turn_idx"])
+        for r in b.alias("b").join(a.alias("a"), KEYS)
+        .filter("b.text <> a.text OR b.role <> a.role").collect()
+    }
+    return ins, upd, dele
+
+
+def _changes(spark, t, v1, v2=None):
+    out = {}
+    for r in t.read_changes(spark, v1, v2).collect():
+        out.setdefault(r["_change_type"], set()).add(
+            (r["conv_id"], r["turn_idx"])
+        )
+    return (out.get("insert", set()), out.get("update", set()),
+            out.get("delete", set()))
+
+
+def test_changelog_matches_brute_diff_over_chained_versions(spark, tmp_path):
+    """Three merges (cow, mor, cow); every (v_i, v_j) pair's changelog
+    equals the brute-force diff of the two time-travel reads —
+    including ranges spanning multiple commits and pending deltas."""
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+    )
+    t.merge(_stream(spark, 2500, seed=91))
+    v1 = t.current_version()
+    t.merge(_stream(spark, 1200, seed=92, lsn_start=2500), mode="mor")
+    v2 = t.current_version()
+    t.merge(_stream(spark, 900, seed=93, lsn_start=3700))
+    v3 = t.current_version()
+    for a, b in [(v1, v2), (v2, v3), (v1, v3)]:
+        ins, upd, dele = _changes(spark, t, a, b)
+        eins, eupd, edele = _brute_diff(spark, t, a, b)
+        assert ins == eins, (a, b, "insert")
+        assert upd == eupd, (a, b, "update")
+        assert dele == edele, (a, b, "delete")
+    # same-version range is empty, wrong order raises
+    assert t.read_changes(spark, v2, v2).count() == 0
+    with pytest.raises(ValueError, match="from_version"):
+        t.read_changes(spark, v3, v1)
+
+
+def test_changelog_delete_preimage_and_commit_lsn(spark, tmp_path):
+    """Deletes carry the from-version pre-image payload and the delete
+    event's LSN; inserts/updates carry the post-image and winner LSN."""
+    rows1 = [
+        ("insert", 0, "c1", 0, "user", "hello", None, None),
+        ("insert", 1, "c1", 1, "tool", "world", "bash", None),
+    ]
+    rows2 = [
+        ("delete", 10, "c1", 0, None, None, None, None),
+        ("update", 11, "c1", 1, "tool", "world2", "bash", None),
+        ("insert", 12, "c2", 0, "user", "new", None, None),
+    ]
+    from oregonwaterdataportal_etl_spark.cdc.changegen import CHANGE_SCHEMA
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=2
+    )
+    t.merge(spark.createDataFrame(rows1, CHANGE_SCHEMA))
+    v1 = t.current_version()
+    t.merge(spark.createDataFrame(rows2, CHANGE_SCHEMA))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in t.read_changes(spark, v1).collect()
+    }
+    d = got[("c1", 0)]
+    assert d["_change_type"] == "delete"
+    assert d["text"] == "hello" and d["role"] == "user"  # pre-image
+    assert d["_commit_lsn"] == 10
+    u = got[("c1", 1)]
+    assert u["_change_type"] == "update" and u["text"] == "world2"
+    assert u["_commit_lsn"] == 11
+    i = got[("c2", 0)]
+    assert i["_change_type"] == "insert" and i["_commit_lsn"] == 12
+    # a stale replay below the watermark produces NO changelog rows
+    v2 = t.current_version()
+    t.merge(spark.createDataFrame(rows1, CHANGE_SCHEMA))
+    assert t.read_changes(spark, v2).count() == 0
+
+
+def test_changelog_across_rebucket_and_evolution(spark, tmp_path):
+    """A rebucket (bucket ids incomparable across layouts) and an
+    additive schema evolution between the versions: the changelog
+    still matches the brute diff, and evolved columns null-fill on
+    pre-evolution pre-images."""
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+    )
+    t.merge(_stream(spark, 2000, seed=94))
+    v1 = t.current_version()
+    t.rebucket(spark, 8)
+    b2 = _stream(spark, 800, seed=95, lsn_start=2000).withColumn(
+        "tool_meta", F.concat(F.lit("m-"), F.col("conv_id"))
+    )
+    t.merge(b2)
+    v2 = t.current_version()
+    ins, upd, dele = _changes(spark, t, v1, v2)
+    eins, eupd, edele = _brute_diff(spark, t, v1, v2)
+    assert (ins, upd, dele) == (eins, eupd, edele)
+    ch = t.read_changes(spark, v1, v2)
+    assert "tool_meta" in ch.columns
+    # pre-images predate the evolution -> evolved column nulls on deletes
+    assert ch.filter(
+        (F.col("_change_type") == "delete") & F.col("tool_meta").isNotNull()
+    ).count() == 0
+
+
+def test_changelog_survives_tombstone_expiry(spark, tmp_path):
+    """A delete whose tombstone is expired before the changelog is read
+    still surfaces as a delete (the full-outer prev-side arm), with a
+    null commit LSN — the honest 'the LSN is gone' signal."""
+    from oregonwaterdataportal_etl_spark.cdc.changegen import CHANGE_SCHEMA
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=2
+    )
+    t.merge(spark.createDataFrame(
+        [("insert", 0, "c1", 0, "user", "a", None, None),
+         ("insert", 1, "c2", 0, "user", "b", None, None)], CHANGE_SCHEMA))
+    v1 = t.current_version()
+    t.merge(spark.createDataFrame(
+        [("delete", 10, "c1", 0, None, None, None, None)], CHANGE_SCHEMA))
+    # expire the tombstone (watermark past the delete LSN)
+    t.expire_tombstones(spark, below_lsn=100)
+    assert t.stats()["tombstone_files"] == 0
+    got = {(r["conv_id"], r["turn_idx"]): r
+           for r in t.read_changes(spark, v1).collect()}
+    assert set(got) == {("c1", 0)}
+    assert got[("c1", 0)]["_change_type"] == "delete"
+    assert got[("c1", 0)]["_commit_lsn"] is None
