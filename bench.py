@@ -296,35 +296,56 @@ def main() -> None:
         rev = _baseline_rev()
         if rev:
             repo = os.path.dirname(os.path.abspath(__file__))
-            cur = _run_bench_subprocess(repo)
-            base = run_baseline(rev)
-            if cur and base:
+            # per-metric single draws of 1-3s measurements swing up to
+            # 3x draw-to-draw on this host (measured both directions in
+            # one session), so each side contributes TWO draws and the
+            # ratio compares per-metric minima. Current side = the cold
+            # in-process draw above + one warm subprocess draw;
+            # baseline side = two warm subprocess draws in the warmest
+            # slots — residual order bias still reads AGAINST the
+            # current code.
+            cur2 = _run_bench_subprocess(repo)
+            bases = [run_baseline(rev), run_baseline(rev)]
+            bases = [b for b in bases if b]
+            if cur2 and bases:
+                cur_draws = [out, cur2]
+
+                def best(draws, key, sub=None):
+                    vals = []
+                    for d in draws:
+                        v = (d.get(sub, {}) if sub else d).get(key)
+                        if v:
+                            vals.append(v)
+                    return min(vals) if vals else None
+
                 out["baseline_rev"] = rev[:12]
                 out["baseline_protocol"] = (
-                    "warm subprocess pair, current-then-baseline "
-                    "(order bias favors baseline); ratio = current/baseline"
+                    "best-of-2 per side (current: in-process + 1 warm "
+                    "subprocess; baseline: 2 warm subprocess draws in "
+                    "the warmest slots); ratio = min(current)/min(baseline)"
                 )
-                out["baseline_value"] = base.get("value")
-                out["self_warm_value"] = cur.get("value")
-                bq, cq = base.get("queries", {}), cur.get("queries", {})
-                out["queries_ratio_vs_prev"] = {
-                    k: round(cq[k] / bq[k], 3)
-                    for k in cq
-                    if bq.get(k) and cq.get(k)
-                }
-                out["cdc_ratio_vs_prev"] = {
-                    k: round(cur[k] / base[k], 3)
-                    for k in (
-                        "cdc_apply_sec", "cdc_mor_apply_sec",
-                        "cdc_incr_apply_sec", "cdc_incr_mor_apply_sec",
-                        "cdc_incr_zx_apply_sec",
-                    )
-                    if base.get(k) and cur.get(k)
-                }
-                if base.get("value") and cur.get("value"):
-                    out["value_ratio_vs_prev"] = round(
-                        cur["value"] / base["value"], 3
-                    )
+                out["baseline_value"] = best(bases, "value")
+                out["self_warm_value"] = cur2.get("value")
+                qr = {}
+                for k in out.get("queries", {}):
+                    c = best(cur_draws, k, sub="queries")
+                    b = best(bases, k, sub="queries")
+                    if c and b:
+                        qr[k] = round(c / b, 3)
+                out["queries_ratio_vs_prev"] = qr
+                cr = {}
+                for k in (
+                    "cdc_apply_sec", "cdc_mor_apply_sec",
+                    "cdc_incr_apply_sec", "cdc_incr_mor_apply_sec",
+                    "cdc_incr_zx_apply_sec",
+                ):
+                    c, b = best(cur_draws, k), best(bases, k)
+                    if c and b:
+                        cr[k] = round(c / b, 3)
+                out["cdc_ratio_vs_prev"] = cr
+                cv, bv = best(cur_draws, "value"), best(bases, "value")
+                if cv and bv:
+                    out["value_ratio_vs_prev"] = round(cv / bv, 3)
 
     print(json.dumps(out))
 
