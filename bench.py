@@ -248,6 +248,7 @@ def bench_cdc(spark, workdir: str) -> dict:
 
 
 def main() -> None:
+    t_main0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -292,7 +293,12 @@ def main() -> None:
     # any residual order bias makes the ratio read WORSE for the
     # current code, never better. The primary value above remains the
     # in-process draw, same protocol as every previous round.
-    if not os.environ.get("BENCH_NO_BASELINE"):
+    # the A/B triples total wall-clock; if the primary draw alone blew
+    # past the budget (big SF, loaded host), skip it rather than risk a
+    # harness timeout — the primary metrics always come first
+    primary_sec = time.perf_counter() - t_main0
+    ab_budget = float(os.environ.get("BENCH_AB_BUDGET_SEC", "900"))
+    if not os.environ.get("BENCH_NO_BASELINE") and primary_sec <= ab_budget:
         rev = _baseline_rev()
         if rev:
             repo = os.path.dirname(os.path.abspath(__file__))
