@@ -300,6 +300,63 @@ def q_cdc_changelog(spark, sf):
     return out
 
 
+def q_cdc_replica(spark, sf):
+    """The full table-to-table CDC chain under the value gate: events
+    apply to a SOURCE table in two stages (cow, then merge-on-read),
+    and after each stage a ChangelogFollower replicates incrementally
+    into a REPLICA with a different bucket count via read_changes +
+    changelog-to-events replay. The returned state is the REPLICA's —
+    so merge, snapshot diffing, change classification, pre/post-image
+    selection, and the replica's idempotent apply must ALL agree with
+    the pure LWW SQL oracle."""
+    import shutil
+    import tempfile
+
+    from oregonwaterdataportal_etl_spark.cdc import OffsetLog, replicate_available
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.round("value", 4).alias("value"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    ).localCheckpoint(eager=True)
+    mid = ev.agg(F.floor(F.max("lsn") / 2).cast("long")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_replica_")
+    try:
+        payload = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("k", T.IntegerType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        src = LakeTable.create(
+            os.path.join(tmp, "src"), payload,
+            key_cols=["user_id", "k"], num_buckets=8,
+        )
+        replica = LakeTable.create(
+            os.path.join(tmp, "replica"), payload,
+            key_cols=["user_id", "k"], num_buckets=4,
+        )
+        off = OffsetLog(os.path.join(tmp, "foff"), "follower")
+        src.merge(ev.filter(F.col("lsn") <= mid))
+        replicate_available(spark, src, replica, off)
+        src.merge(ev.filter(F.col("lsn") > mid), mode="mor")
+        replicate_available(spark, src, replica, off)
+        out = (
+            replica.read(spark)
+            .select("user_id", "k", F.round("value", 4).alias("value"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_latest_per_key(spark, sf):
     """W2: top-1 latest per stream ($orderby desc take-first)."""
     ev = _t(spark, sf, "events")
@@ -826,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_mixed_mode": q_cdc_mixed_mode,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_replica": q_cdc_replica,
         "latest_per_key": q_latest_per_key,
         "argmax_dedup": q_argmax_dedup,
         "first_wins_dedup": q_first_wins_dedup,
@@ -1212,6 +1270,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id,
                          cast(json_extract(props, '$.k') AS int) AS k,
                          event_id, value, event_type,
+                         row_number() OVER
+                           (PARTITION BY user_id, cast(json_extract(props, '$.k') AS int)
+                            ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type != 'error'
+        """,
+        "cdc_replica": """
+            SELECT user_id, k, round(value, 4) AS value
+            FROM (SELECT user_id,
+                         cast(json_extract(props, '$.k') AS int) AS k,
+                         round(value, 4) AS value, event_type,
                          row_number() OVER
                            (PARTITION BY user_id, cast(json_extract(props, '$.k') AS int)
                             ORDER BY event_id DESC) rn

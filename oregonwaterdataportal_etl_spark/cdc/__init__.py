@@ -4,6 +4,7 @@ from .manifests import ManifestLog
 from .apply import lww_dedup, apply_batch, oracle_fold
 from .runner import CdcRunner
 from .source import BucketedWalSource, LsnRangedParquetSource
+from .follower import ChangelogFollower, changelog_to_events, replicate_available
 from .watermarks import WatermarkStore
 
 __all__ = [
@@ -19,4 +20,7 @@ __all__ = [
     "CdcRunner",
     "LsnRangedParquetSource",
     "BucketedWalSource",
+    "ChangelogFollower",
+    "changelog_to_events",
+    "replicate_available",
 ]

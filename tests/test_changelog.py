@@ -215,3 +215,65 @@ def test_changelog_scans_only_touched_buckets(spark, tmp_path):
     # snapshots hold (16 buckets -> ~1/16 per side)
     assert files_read <= max(total // 4, 4), (files_read, total)
     assert files_read >= 1
+
+
+# ------------------------------------------------------- follower chain
+def test_changelog_follower_replicates_table(spark, tmp_path):
+    """Table-to-table CDC chain: source ingests windows through the
+    runner; a ChangelogFollower incrementally replicates to a replica
+    via read_changes. After every hop the replica equals the source;
+    redelivery after a simulated crash (sink ran, offset commit lost)
+    is absorbed by the replica's LSN guard; a caught-up follower is a
+    no-op."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        CdcRunner, ChangelogFollower, ManifestLog, OffsetLog,
+        replicate_available,
+    )
+    from oregonwaterdataportal_etl_spark.cdc.follower import make_replica_sink
+
+    stream = _stream(spark, 6000, seed=101)
+    stream_dir = str(tmp_path / "stream")
+    stream.write.parquet(stream_dir)
+    src = LakeTable.create(
+        str(tmp_path / "src"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+    )
+    runner = CdcRunner(
+        src,
+        OffsetLog(str(tmp_path / "roff"), "s1"),
+        ManifestLog(str(tmp_path / "rman")),
+        source=lambda: spark.read.parquet(stream_dir),
+        mode="mor",
+        compact_every=2,
+    )
+    replica = LakeTable.create(
+        str(tmp_path / "replica"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=8
+    )  # different bucket count on purpose: replication is logical
+    foff = OffsetLog(str(tmp_path / "foff"), "follower")
+
+    def state(t):
+        cols = ["conv_id", "turn_idx", "text", "role", "tool"]
+        return sorted(map(tuple, t.read(spark).select(*cols).collect()))
+    lo = 0
+    for hi in (1999, 3999, 5999):
+        runner.run_window(lo, hi)
+        lo = hi + 1
+        hops = replicate_available(spark, src, replica, foff)
+        assert hops, "follower should have work after a source window"
+        assert state(replica) == state(src)
+
+    # caught up -> no-op
+    assert replicate_available(spark, src, replica, foff) == []
+
+    # crash between sink and offset commit: rebuild the follower and
+    # deliver the LAST range again manually — replica must not change
+    last_from = foff.last_lsn()
+    f = ChangelogFollower(
+        src, OffsetLog(str(tmp_path / "foff2"), "f2"),
+        make_replica_sink(replica, src), start_version=0,
+    )
+    # fresh follower with start_version=0 redelivers EVERYTHING as one
+    # range; the replica absorbs it as a pure no-op
+    before = state(replica)
+    f.run_available(spark)
+    assert state(replica) == before == state(src)
+    assert last_from == src.current_version()
