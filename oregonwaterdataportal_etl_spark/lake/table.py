@@ -856,7 +856,19 @@ class LakeTable:
         v1 = from_version
         if v1 > v2:
             raise ValueError(f"from_version {v1} > to_version {v2}")
-        snap1, snap2 = self.snapshot(v1), self.snapshot(v2)
+        snap2 = self.snapshot(v2)
+        if v1 == 0:
+            # the empty origin is SYNTHETIC, never read from disk: a
+            # vacuumed table may have expired its v0 manifest, and a
+            # from-zero changelog (a fresh follower's bootstrap full
+            # sync) must still work
+            snap1 = {
+                "files": {}, "tombstones": {}, "deltas": {},
+                "num_buckets": snap2["num_buckets"],
+                "schema": snap2["schema"],
+            }
+        else:
+            snap1 = self.snapshot(v1)
         schema2 = T.StructType.fromJson(json.loads(snap2["schema"]))
         out_fields = T.StructType(
             list(schema2.fields)
@@ -918,12 +930,24 @@ class LakeTable:
         prev_buckets = (
             tb if snap1["num_buckets"] == snap2["num_buckets"] else None
         )
-        prev = (
-            self._resolved_view(
-                spark, v1, buckets=prev_buckets, _internal_cols=True
+        if v1 == 0:
+            prev = spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(schema2.fields)
+                    + [
+                        T.StructField("__lsn", T.LongType(), True),
+                        T.StructField("__deleted", T.BooleanType(), True),
+                    ]
+                ),
             )
-            .filter(~F.col("__deleted"))
-        )
+        else:
+            prev = (
+                self._resolved_view(
+                    spark, v1, buckets=prev_buckets, _internal_cols=True
+                )
+                .filter(~F.col("__deleted"))
+            )
         key_cols: list[str] = snap2["key_cols"]
         schema1_names = {
             f.name for f in T.StructType.fromJson(json.loads(snap1["schema"])).fields

@@ -88,6 +88,37 @@ def test_spark_submit_py_files_applies_stream(spark, tmp_path):
     assert mm["base_files_after"] <= max(mm["base_files_before"], 1)
     assert mm["num_buckets"] == 8  # --rebucket=8 evolved the layout
 
+    # the replication job follows the same table through the same
+    # packaging surface (changelog follower -> replica); run TWICE:
+    # first hop replicates everything, second is a caught-up no-op
+    for expect_hops in (1, 0):
+        out_log3 = tmp_path / "out3.log"
+        with open(out_log3, "w") as out:
+            subprocess.run(
+                [
+                    SPARK_SUBMIT,
+                    "--master", "local[2]",
+                    "--conf", "spark.ui.enabled=false",
+                    "--conf", "spark.sql.session.timeZone=UTC",
+                    "--py-files", zip_path,
+                    os.path.join(REPO, "jobs", "replicate.py"),
+                    str(tmp_path / "table"),
+                    str(tmp_path / "replica"),
+                    str(tmp_path / "foffsets"),
+                ],
+                cwd=str(tmp_path),
+                env=env,
+                stdout=out,
+                stderr=subprocess.DEVNULL,
+                check=True,
+                timeout=300,
+            )
+        lines3 = [l for l in out_log3.read_text().splitlines() if l.startswith("{")]
+        assert lines3, "replicate job printed no metrics"
+        mr = json.loads(lines3[-1])
+        assert len(mr["hops"]) == expect_hops
+        assert mr["replica_rows"] == m["rows_final"]
+
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_bucketed_wal_zero_exchange(spark, tmp_path):
