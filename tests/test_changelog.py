@@ -56,8 +56,15 @@ def test_changelog_matches_brute_diff_over_chained_versions(spark, tmp_path):
     """Three merges (cow, mor, cow); every (v_i, v_j) pair's changelog
     equals the brute-force diff of the two time-travel reads —
     including ranges spanning multiple commits and pending deltas."""
+    from oregonwaterdataportal_etl_spark.cdc.changegen import (
+        TRANSCRIPT_DICT_COLS,
+    )
+
+    # dict_cols on purpose: the changelog's resolve substrate must
+    # decode transit-encoded columns identically on both sides
     t = LakeTable.create(
-        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4,
+        dict_cols=TRANSCRIPT_DICT_COLS,
     )
     t.merge(_stream(spark, 2500, seed=91))
     v1 = t.current_version()
