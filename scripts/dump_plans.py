@@ -117,6 +117,45 @@ def zero_exchange_fold_plan(spark, tmp) -> str:
     return plans[0]
 
 
+def zero_exchange_compact_fold_plan(spark, tmp) -> str:
+    """compact(fold_strategy='zx'): the delta fold with NO update side
+    and NO join — base/tomb/delta winners resolve from the bucketed
+    scan's own partitioning and pass straight to the write."""
+    t = LakeTable.create(
+        os.path.join(tmp, "cf"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        generate_changes_pdf(2000, 100, seed=8, delete_rate=0.1)
+    ).localCheckpoint()
+    b2 = spark.createDataFrame(
+        generate_changes_pdf(500, 100, seed=9)
+    ).withColumn("lsn", F.col("lsn") + 2000).localCheckpoint()
+    t.merge(b1)
+    t.merge(b2, mode="mor")
+    plans = []
+    t._fold_deltas_zx(
+        spark, [int(b) for b in t.snapshot()["deltas"]], _plan_out=plans
+    )
+    return plans[0]
+
+
+def changelog_plan(spark, tmp):
+    """read_changes between two versions: bucket-pruned resolved views
+    on both sides + one full-outer join over touched buckets only."""
+    t = LakeTable.create(
+        os.path.join(tmp, "chg"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    t.merge(spark.createDataFrame(generate_changes_pdf(2000, 100, seed=10)))
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(generate_changes_pdf(300, 100, seed=11))
+        .withColumn("lsn", F.col("lsn") + 2000)
+    )
+    return t.read_changes(spark, v1)
+
+
 def main() -> None:
     import tempfile
 
@@ -138,6 +177,21 @@ def main() -> None:
             "bucketed scan's partitioning satisfies — still NO Exchange. "
             "Pinned by test_prebucketed_merge_folds_pending_mor_deltas",
             zero_exchange_fold_plan(spark, tmp),
+        ),
+        (
+            "Zero-exchange compaction delta fold (round 5)",
+            "compact(fold_strategy='zx') — the fold has no update side and "
+            "no join: base/tomb/delta winners resolve from the bucketed "
+            "scan's own partitioning. Pinned by "
+            "test_zx_delta_fold_equals_window_fold",
+            zero_exchange_compact_fold_plan(spark, tmp),
+        ),
+        (
+            "Incremental changelog read (round 5)",
+            "read_changes: bucket-pruned resolved views of both snapshots "
+            "+ one full-outer join over touched buckets only. Scan pruning "
+            "pinned by test_changelog_scans_only_touched_buckets",
+            changelog_plan(spark, tmp),
         ),
         (
             "CDC merge resolve (the one exchange)",
