@@ -183,26 +183,48 @@ def versioned_commit(
         _fsync_dir(meta_dir)
 
 
+# (path) -> (mtime, size, max_lsn | None): snapshot files are immutable
+# once published, so a follower polling read_changes pays each footer
+# open once per process, not once per hop
+_FOOTER_LSN_CACHE: dict[str, tuple[float, int, int | None]] = {}
+
+
 def _files_max_lsn(files: list[str]) -> int | None:
     """Max ``_lsn`` across parquet footers — metadata only, no Spark
     job (read_changes' high-watermark + touched-bucket pruning input).
-    None = a file lacks usable stats; callers fall back to a scan."""
+    None = a file lacks usable stats; callers fall back to a scan.
+    Cached per (path, mtime, size) — same discipline as
+    LsnRangedParquetSource's window pruning."""
     import pyarrow.parquet as pq
 
     out = None
     for f in files:
         try:
-            md = pq.ParquetFile(f).metadata
-            idx = {
-                md.schema.column(i).name: i for i in range(md.num_columns)
-            }.get(LSN_COL)
-            if idx is None:
+            st_f = os.stat(f)
+            cached = _FOOTER_LSN_CACHE.get(f)
+            if (
+                cached is not None
+                and cached[0] == st_f.st_mtime
+                and cached[1] == st_f.st_size
+            ):
+                fmax = cached[2]
+            else:
+                fmax = None
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }.get(LSN_COL)
+                if idx is not None:
+                    for rg in range(md.num_row_groups):
+                        s = md.row_group(rg).column(idx).statistics
+                        if s is None or not s.has_min_max:
+                            fmax = None
+                            break
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+                _FOOTER_LSN_CACHE[f] = (st_f.st_mtime, st_f.st_size, fmax)
+            if fmax is None:
                 return None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return None
-                out = st.max if out is None else max(out, st.max)
+            out = fmax if out is None else max(out, fmax)
         except Exception:
             return None
     return out
