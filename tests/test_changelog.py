@@ -284,3 +284,42 @@ def test_changelog_follower_replicates_table(spark, tmp_path):
     f.run_available(spark)
     assert state(replica) == before == state(src)
     assert last_from == src.current_version()
+
+
+def test_follower_propagates_schema_evolution(spark, tmp_path):
+    """An additive column landing on the source mid-stream reaches the
+    replica through the changelog chain: the replica's merge evolves
+    its schema from the changelog payload, pre-evolution rows
+    null-fill, and states stay equal."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        OffsetLog, replicate_available,
+    )
+
+    src = LakeTable.create(
+        str(tmp_path / "src"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+    )
+    replica = LakeTable.create(
+        str(tmp_path / "rep"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=4
+    )
+    off = OffsetLog(str(tmp_path / "off"), "f")
+
+    src.merge(_stream(spark, 1500, seed=111))
+    replicate_available(spark, src, replica, off)
+
+    evolved = _stream(spark, 800, seed=112, lsn_start=1500).withColumn(
+        "tool_meta", F.concat(F.lit("m-"), F.col("conv_id"))
+    )
+    src.merge(evolved)
+    replicate_available(spark, src, replica, off)
+
+    assert "tool_meta" in [f.name for f in replica.schema().fields]
+    cols = ["conv_id", "turn_idx", "text", "tool_meta"]
+    a = sorted(map(tuple, src.read(spark).select(*cols).collect()))
+    b = sorted(map(tuple, replica.read(spark).select(*cols).collect()))
+    assert a == b and len(a) > 0
+    # rows untouched since before the evolution carry nulls on both
+    assert (
+        replica.read(spark).filter(F.col("tool_meta").isNull()).count()
+        == src.read(spark).filter(F.col("tool_meta").isNull()).count()
+        > 0
+    )
