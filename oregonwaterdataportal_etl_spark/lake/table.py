@@ -890,7 +890,18 @@ class LakeTable:
                 "schema": snap2["schema"],
             }
         else:
-            snap1 = self.snapshot(v1)
+            try:
+                snap1 = self.snapshot(v1)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"from_version {v1} has been expired by vacuum(); an "
+                    "incremental hop from it is no longer computable. "
+                    "Re-sync the consumer from scratch: read_changes(0) "
+                    "against an EMPTY downstream state (a diverged replica "
+                    "must be recreated first — it may hold rows whose "
+                    "deletes are gone). Keep vacuum's retention above the "
+                    "follower's polling interval to avoid this."
+                ) from None
         schema2 = T.StructType.fromJson(json.loads(snap2["schema"]))
         out_fields = T.StructType(
             list(schema2.fields)

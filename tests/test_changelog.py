@@ -323,3 +323,21 @@ def test_follower_propagates_schema_evolution(spark, tmp_path):
         == src.read(spark).filter(F.col("tool_meta").isNull()).count()
         > 0
     )
+
+
+def test_changelog_from_vacuumed_version_errors_clearly(spark, tmp_path):
+    """A follower whose recorded version was expired by vacuum gets a
+    ValueError naming the recovery path, not a FileNotFoundError from
+    deep inside snapshot loading."""
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, KEYS, num_buckets=2
+    )
+    t.merge(_stream(spark, 500, seed=121))
+    v1 = t.current_version()
+    t.merge(_stream(spark, 300, seed=122, lsn_start=500))
+    t.merge(_stream(spark, 300, seed=123, lsn_start=800))
+    t.vacuum(keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.read_changes(spark, v1)
+    # the bootstrap full sync still works against the synthetic origin
+    assert t.read_changes(spark, 0).count() > 0
