@@ -233,3 +233,40 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert out2["c1"]["turns_seen"] == 3
     assert out2["c1"]["max_lsn"] == 11
     assert "c2" not in out2  # update mode: untouched groups not re-emitted
+
+
+def test_streaming_zx_folds_pending_mor_deltas(spark, tmp_path):
+    """A table carrying pending merge-on-read deltas when the zx stream
+    starts: the first micro-batch's merge_prebucketed folds them (no
+    compact needed), and the final state equals the batch path."""
+    pre = generate_changes(spark, n_events=2000, n_convs=120, seed=31)
+    tail = generate_changes(
+        spark, n_events=1200, n_convs=120, seed=32, lsn_start=2000
+    )
+    stream_dir = str(tmp_path / "mstream")
+    tail.coalesce(1).write.parquet(stream_dir)
+
+    t_zx = LakeTable.create(
+        str(tmp_path / "mt_zx"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    t_zx.merge(pre, mode="mor")
+    assert t_zx.snapshot().get("deltas")
+
+    q = start_cdc_stream_zx(
+        spark, stream_dir, t_zx, str(tmp_path / "mckpt"),
+        ManifestLog(str(tmp_path / "mman")), str(tmp_path / "mwal"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not t_zx.snapshot().get("deltas"), "stream merge should fold deltas"
+
+    t_batch = LakeTable.create(
+        str(tmp_path / "mt_b"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    t_batch.merge(pre)
+    t_batch.merge(tail)
+    a = t_zx.read(spark).orderBy("conv_id", "turn_idx").collect()
+    b = t_batch.read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert a == b and len(a) > 0
