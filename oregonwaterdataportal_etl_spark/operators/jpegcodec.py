@@ -1,14 +1,20 @@
 """Minimal in-tree baseline JPEG codec (pure stdlib + numpy).
 
-Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers.
-Progressive (SOF2) and the exotic SOFs raise ValueError — the
-multimodal layer flags those payloads decoded=False instead of faking
-a decode (the honest-stub discipline of pngcodec/bmpcodec).
+Decoder: baseline sequential DCT (SOF0/SOF1) AND progressive (SOF2 —
+spectral selection, successive approximation, DC/AC refinement scans,
+EOB runs; round 5), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 /
+4:2:0 subsampling, restart markers. The remaining exotic SOFs
+(lossless, arithmetic, hierarchical) raise ValueError — the multimodal
+layer flags those payloads decoded=False instead of faking a decode
+(the honest-stub discipline of pngcodec/bmpcodec).
 
-Encoder: baseline, 4:4:4, Annex-K quantization tables (quality-scaled)
-and Annex-K Huffman tables — enough for real roundtrip tests and for
-resize_images to stay in-format, not a general-purpose encoder.
+Encoders: baseline (encode_jpeg) and progressive
+(encode_jpeg_progressive), both 4:4:4, Annex-K quantization tables
+(quality-scaled) and Annex-K Huffman tables. Progressive scans are a
+REORDERING of the same quantized coefficients, so
+decode(progressive(x)) == decode(baseline(x)) bit-for-bit at equal
+quality — the cross-check that keeps the two coders honest against
+each other (pinned in tests).
 
 This is the test-scale twin of PIL/libjpeg on a real cluster; the
 mapInPandas plumbing above it is identical either way. Reference
@@ -207,9 +213,42 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
 
 
+def _planes_to_rgb(comps, planes, H, W, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, and color
+    convert (shared by the baseline and progressive decoders)."""
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:H, :W])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First real marker (not stuffing, not RSTn) at or after pos."""
+    pos = max(pos, 0)
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """-> HxWx3 uint8 RGB (grayscale replicated). Baseline only;
-    progressive raises ValueError (flagged, never faked)."""
+    """-> HxWx3 uint8 RGB (grayscale replicated). Baseline (SOF0/1)
+    and progressive (SOF2: spectral selection + successive
+    approximation, DC and AC refinement scans, EOBRUN) both decode."""
     if not payload.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -218,6 +257,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     H = W = 0
     restart_interval = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}
     data = payload
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -256,7 +297,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             H, W = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -265,26 +307,204 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported")
+            if progressive:
+                coefs = _alloc_coefs(comps, H, W)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker {marker:#x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             nc = seg[0]
+            scan_comps = []
             for i in range(nc):
                 cid, tbl = seg[1 + 2 * i], seg[2 + 2 * i]
                 for c in comps:
                     if c["id"] == cid:
                         c["dc"] = tbl >> 4
                         c["ac"] = tbl & 0xF
+                        scan_comps.append(c)
             pos += seglen
-            return _decode_scan(
-                data, pos, comps, qt, huff, H, W, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, comps, qt, huff, H, W, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * nc], seg[2 + 2 * nc], seg[3 + 2 * nc]
+            end = _decode_prog_scan(
+                data, pos, scan_comps, coefs, huff, H, W,
+                comps, ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            pos = _next_marker_pos(data, end - 2)
+            continue
         pos += seglen
+    if progressive and comps and H:
+        return _reconstruct_progressive(comps, coefs, qt, H, W)
     raise ValueError("no SOS segment found")
+
+
+# ============================================ progressive decoding ===
+def _comp_geometry(comps, H, W):
+    """(hmax, vmax, mcux, mcuy, per-comp full-image block dims).
+
+    Interleaved scans walk MCUs (each MCU holds h*v blocks per comp,
+    padded to MCU multiples); non-interleaved scans walk the comp's own
+    block raster: ceil(ceil(dim*h/hmax)/8) per A.2.2."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    dims = {}
+    for c in comps:
+        cw = -(-(W * c["h"]) // hmax)
+        ch = -(-(H * c["v"]) // vmax)
+        dims[c["id"]] = (-(-ch // 8), -(-cw // 8))
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _alloc_coefs(comps, H, W) -> dict[int, np.ndarray]:
+    """Per-component coefficient accumulator [by, bx, 64] (zigzag),
+    padded to MCU multiples so interleaved DC scans can write their
+    padding blocks without bounds checks."""
+    hmax, vmax, mcux, mcuy, _dims = _comp_geometry(comps, H, W)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+
+
+def _decode_prog_scan(
+    data, pos, scan_comps, coefs, huff, H, W, all_comps,
+    ss, se, ah, al, dri,
+) -> int:
+    """One progressive SOS's entropy data into the coefficient
+    accumulators. Returns the reader's end position (the caller
+    re-finds the next marker from there)."""
+    br = _BitReader(data, pos)
+    hmax, vmax, mcux, mcuy, dims = _comp_geometry(all_comps, H, W)
+    if ss == 0:  # DC scan: interleaved over the scan's components
+        preds = {c["id"]: 0 for c in scan_comps}
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    br.n = 0
+                    preds = {c["id"]: 0 for c in scan_comps}
+                    br.restart_hit = False
+                unit += 1
+                for c in scan_comps:
+                    arr = coefs[c["id"]]
+                    for v in range(c["v"]):
+                        for h in range(c["h"]):
+                            by, bx = my * c["v"] + v, mx * c["h"] + h
+                            if ah == 0:  # first scan
+                                s = br.decode_symbol(huff[(0, c["dc"])])
+                                diff = _extend(br.read_bits(s), s) if s else 0
+                                preds[c["id"]] += diff
+                                arr[by, bx, 0] = preds[c["id"]] << al
+                            else:  # refinement: one bit per block
+                                if br.read_bit():
+                                    arr[by, bx, 0] |= 1 << al
+        return br.pos
+    # AC scans: exactly one component, non-interleaved block raster
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must have one component")
+    c = scan_comps[0]
+    arr = coefs[c["id"]]
+    nby, nbx = dims[c["id"]]
+    act = huff[(1, c["ac"])]
+    eobrun = 0
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and unit and unit % dri == 0:
+                br.n = 0
+                eobrun = 0
+                br.restart_hit = False
+            unit += 1
+            blk = arr[by, bx]
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode_symbol(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow in band")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement scan
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement scan size must be 1"
+                                )
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if br.read_bit():
+                                    if (blk[k] & p1) == 0:
+                                        blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        blk[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.read_bit():
+                                if (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return br.pos
+
+
+def _reconstruct_progressive(comps, coefs, qt, H, W) -> np.ndarray:
+    hmax, vmax, mcux, mcuy, _dims = _comp_geometry(comps, H, W)
+    planes = {}
+    for c in comps:
+        arr = coefs[c["id"]]
+        nby, nbx = arr.shape[:2]
+        q = qt[c["tq"]]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                block = np.zeros((8, 8))
+                block[_ZZ_ROWS, _ZZ_COLS] = arr[by, bx]
+                block *= q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ block @ _DCT + 128.0
+                )
+        planes[c["id"]] = plane
+    return _planes_to_rgb(comps, planes, H, W, hmax, vmax)
 
 
 def _decode_scan(data, pos, comps, qt, huff, H, W, dri) -> np.ndarray:
@@ -341,20 +561,7 @@ def _decode_scan(data, pos, comps, qt, huff, H, W, dri) -> np.ndarray:
                         y0 = (my * c["v"] + v) * 8
                         x0 = (mx * c["h"] + h) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample to full resolution and crop
-    full = []
-    for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:H, :W])
-    if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(comps, planes, H, W, hmax, vmax)
 
 
 # ====================================================== encoder ======
@@ -488,6 +695,256 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
                 preds[i] = _encode_block(bw, block, qtab, dcc, acc, preds[i])
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ============================================ progressive encoder ===
+def _quantized_coefs(arr: np.ndarray, quality: int):
+    """Quantized zigzag coefficient arrays per component [by, bx, 64]
+    — the SAME values the baseline encoder entropy-codes, which is why
+    progressive decode must equal baseline decode bit-for-bit at equal
+    quality (the round-trip cross-check in tests)."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    H, W = arr.shape[:2]
+    qlum = _quality_scale(_QT_LUM, quality)
+    qchr = _quality_scale(_QT_CHR, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    by, bx = -(-H // 8), -(-W // 8)
+    coefs = []
+    for i, p in enumerate(planes):
+        pp = np.empty((by * 8, bx * 8))
+        pp[:H, :W] = p
+        pp[H:, :W] = p[-1:, :]
+        pp[:, W:] = pp[:, W - 1 : W]
+        qtab = qlum if i == 0 else qchr
+        out = np.zeros((by, bx, 64), dtype=np.int32)
+        for yb in range(by):
+            for xb in range(bx):
+                block = pp[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                d = _DCT @ (block - 128.0) @ _DCT.T
+                out[yb, xb] = np.round(d / qtab)[_ZZ_ROWS, _ZZ_COLS].astype(
+                    np.int32
+                )
+        coefs.append(out)
+    return coefs, gray, H, W, qlum, qchr
+
+
+class _ProgACEmitter:
+    """EOBRUN + buffered-correction-bit state for one AC scan (the
+    spec's successive-approximation entropy coder, Annex G)."""
+
+    # the STANDARD AC Huffman tables define only EOB0 (0x00) — the
+    # EOBn long-run symbols need custom tables — so runs are capped at
+    # length 1: every end-of-band block emits its own EOB0. Costs some
+    # compression, keeps the stream decodable by any conforming reader.
+    MAX_EOBRUN = 1
+
+    def __init__(self, bw, ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits riding the EOB run
+
+    def sym(self, s):
+        code, ln = self.ac[s]
+        self.bw.write(code, ln)
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            for b in self.be:
+                self.bw.write(b, 1)
+            self.be = []
+
+
+def _encode_ac_first(em, blk, ss, se, al):
+    t = [0] * 64
+    any_nz = False
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t[k] = (abs(v) >> al) * (1 if v >= 0 else -1)
+        any_nz = any_nz or t[k] != 0
+    if not any_nz:
+        em.eobrun += 1
+        if em.eobrun >= em.MAX_EOBRUN:
+            em.flush_eob()
+        return
+    em.flush_eob()
+    r = 0
+    last_nz = max(k for k in range(ss, se + 1) if t[k] != 0)
+    for k in range(ss, se + 1):
+        v = t[k]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            em.sym(0xF0)
+            r -= 16
+        s = abs(v).bit_length()
+        em.sym((r << 4) | s)
+        em.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+        if k == last_nz and k < se:
+            em.eobrun += 1
+            if em.eobrun >= em.MAX_EOBRUN:
+                em.flush_eob()
+            break
+
+
+def _encode_ac_refine(em, blk, ss, se, al):
+    absv = [0] * 64
+    eob = 0
+    for k in range(ss, se + 1):
+        absv[k] = abs(int(blk[k])) >> al
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            em.flush_eob()
+            em.sym(0xF0)
+            r -= 16
+            for b in br:
+                em.bw.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        em.flush_eob()
+        em.sym((r << 4) | 1)
+        em.bw.write(0 if int(blk[k]) < 0 else 1, 1)
+        for b in br:
+            em.bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        em.eobrun += 1
+        em.be.extend(br)
+        if em.eobrun >= em.MAX_EOBRUN:
+            em.flush_eob()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> PROGRESSIVE JPEG (SOF2,
+    4:4:4): spectral selection (DC scan, split AC bands) AND successive
+    approximation (DC Al=1->0 refine; AC first scans at Al>0 with
+    refinement scans down to 0) — every scan type the decoder handles.
+    Entropy-codes the exact coefficients the baseline encoder would, so
+    decode(progressive) == decode(baseline) bit-for-bit at the same
+    quality."""
+    coefs, gray, H, W, qlum, qchr = _quantized_coefs(arr, quality)
+    nc = 1 if gray else 3
+    by, bx = coefs[0].shape[:2]
+
+    out = bytearray(JPEG_MAGIC)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    for tq, tab in ((0, qlum),) + (() if gray else ((1, qchr),)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(tab[r, c]) for r, c in _ZZ)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, H, W, nc)
+    for i in range(nc):
+        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    tables = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS)]
+    if not gray:
+        tables += [
+            (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+            (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
+        ]
+    for tid, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid])
+        out += bytes(bits) + bytes(vals)
+
+    dc_l = _build_encode(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _build_encode(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _build_encode(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_c = _build_encode(_AC_CHR_BITS, _AC_CHR_VALS)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for i in comp_ids:
+            hdr += bytes([i + 1, 0x00 if i == 0 else 0x11])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def dc_scan(al, refine):
+        nonlocal out
+        out += sos_header(list(range(nc)), 0, 0, 1 if refine else 0, al)
+        bw = _BitWriter()
+        preds = [0] * nc
+        for yb in range(by):
+            for xb in range(bx):
+                for i in range(nc):
+                    coef0 = int(coefs[i][yb, xb, 0])
+                    if refine:
+                        bw.write((coef0 >> al) & 1, 1)
+                        continue
+                    v = coef0 >> al  # arithmetic shift per Annex G
+                    diff = v - preds[i]
+                    preds[i] = v
+                    s = abs(diff).bit_length()
+                    code, ln = (dc_l if i == 0 else dc_c)[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+        bw.flush()
+        out += bw.out
+
+    def ac_scan(comp, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([comp], ss, se, ah, al)
+        bw = _BitWriter()
+        em = _ProgACEmitter(bw, ac_l if comp == 0 else ac_c)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = coefs[comp][yb, xb]
+                if ah == 0:
+                    _encode_ac_first(em, blk, ss, se, al)
+                else:
+                    _encode_ac_refine(em, blk, ss, se, al)
+        em.flush_eob()
+        bw.flush()
+        out += bw.out
+
+    dc_scan(1, refine=False)
+    if gray:
+        ac_scan(0, 1, 5, 0, 2)
+        ac_scan(0, 6, 63, 0, 2)
+        ac_scan(0, 1, 63, 2, 1)
+        dc_scan(0, refine=True)
+        ac_scan(0, 1, 63, 1, 0)
+    else:
+        ac_scan(0, 1, 5, 0, 2)
+        ac_scan(0, 6, 63, 0, 2)
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(2, 1, 63, 0, 1)
+        ac_scan(0, 1, 63, 2, 1)
+        dc_scan(0, refine=True)
+        ac_scan(0, 1, 63, 1, 0)
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(2, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -365,11 +365,19 @@ def test_jpeg_codec_roundtrip_and_features(spark):
     assert decg.shape == (17, 23, 3)
     assert float(np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).mean()) < 2.0
 
-    progressive = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9"
+    # a TRUNCATED SOF2 shell (no scans) still flags decoded=False;
+    # real progressive JPEGs decode since round 5 (test_round5_codec)
+    progressive_stub = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9"
+    from oregonwaterdataportal_etl_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    prog_real = encode_jpeg_progressive(rgb, quality=90)
     media = spark.createDataFrame(
         [
             (1, "image/jpeg", jpg, {}),
-            (2, "image/jpeg", progressive, {}),
+            (2, "image/jpeg", progressive_stub, {}),
+            (3, "image/jpeg", prog_real, {}),
         ],
         schema=multimodal.MEDIA_SCHEMA,
     )
@@ -378,7 +386,12 @@ def test_jpeg_codec_roundtrip_and_features(spark):
     assert np.allclose(
         feats[1]["feature"], luminance_histogram(decode_jpeg(jpg), bins=32)
     )
-    assert feats[2]["decoded"] is False  # progressive -> flagged stub
+    assert feats[2]["decoded"] is False  # truncated shell -> flagged stub
+    assert feats[3]["decoded"] is True  # real progressive decodes (r5)
+    assert np.allclose(
+        feats[3]["feature"],
+        luminance_histogram(decode_jpeg(prog_real), bins=32),
+    )
 
     resized = multimodal.resize_images(
         media.filter("media_id = 1"), width=16, height=8
