@@ -714,6 +714,65 @@ def q_conversation_stats(spark, sf):
     return transcripts.conversation_stats(ev)
 
 
+def _turns(spark, sf):
+    """The shared events-as-turns projection the transcript family
+    reads: (conv_id, turn_idx, text, role)."""
+    return _t(spark, sf, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("role"),
+    )
+
+
+def q_chat_template(spark, sf):
+    """Training-sample assembly (operators/transcripts
+    render_chat_template): each turn serialized <|role|>text, joined
+    in turn order with the record separator — ONE groupBy, in-row
+    struct-sort, no global sort."""
+    return transcripts.render_chat_template(_turns(spark, sf))
+
+
+def q_loss_mask_spans(spark, sf):
+    """Per-turn character spans into the rendered template plus the
+    train-on flag (loss masking): one window shuffle by conv, lengths
+    only ride the frame."""
+    return transcripts.loss_mask_spans(
+        _turns(spark, sf), train_roles=("click", "purchase")
+    )
+
+
+def q_role_alternation(spark, sf):
+    """Dialogue-shape hygiene (role_alternation_stats): opening role,
+    adjacent same-role repeats, strict-alternation flag — one groupBy,
+    in-row zip_with over the sorted role array."""
+    return transcripts.role_alternation_stats(_turns(spark, sf))
+
+
+def q_truncate_budget(spark, sf):
+    """Longest-prefix token-budget truncation (truncate_to_token_
+    budget): running whitespace-token total per conversation, kept =
+    prefix that fits 120 tokens."""
+    return transcripts.truncate_to_token_budget(_turns(spark, sf), budget=120)
+
+
+def q_boilerplate_turns(spark, sf):
+    """Turn-granular repeated-text detection (boilerplate_turns): md5
+    hash family for oracle parity; raw text never rides the shuffle."""
+    return transcripts.boilerplate_turns(
+        _turns(spark, sf), min_convs=2, hash_family="md5"
+    )
+
+
+def q_conversation_windows(spark, sf):
+    """Sliding long-context windows (conversation_windows): 16-turn
+    windows every 8 positions, trailing partial kept — one groupBy +
+    a generator expression, no join."""
+    return transcripts.conversation_windows(
+        _turns(spark, sf), window_turns=16, stride=8
+    )
+
+
 def q_hash_split(spark, sf):
     """Deterministic 80/10/10 train/val/test assignment plus a stable
     50% down-sample flag per document (functions/scalar.hash_split /
@@ -918,6 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "conversation_fingerprint": q_conversation_fingerprint,
         "conversation_stats": q_conversation_stats,
+        "chat_template": q_chat_template,
+        "loss_mask_spans": q_loss_mask_spans,
+        "role_alternation": q_role_alternation,
+        "truncate_budget": q_truncate_budget,
+        "boilerplate_turns": q_boilerplate_turns,
+        "conversation_windows": q_conversation_windows,
         "embedding_neardup": q_embedding_neardup,
         "synth_numeric_id": q_synth_numeric_id,
         "padded_key": q_padded_key,
@@ -1628,6 +1693,99 @@ def oracle_sql() -> dict[str, str]:
                      AS tool_calls,
                    max(event_id) AS max_turn_idx
             FROM events GROUP BY user_id
+        """,
+        "chat_template": """
+            SELECT user_id AS conv_id,
+                   string_agg(
+                     '<|' || coalesce(event_type, '') || '|>' ||
+                     coalesce(props, ''),
+                     chr(30) ORDER BY event_id
+                   ) AS rendered
+            FROM events GROUP BY user_id
+        """,
+        "loss_mask_spans": """
+            WITH t AS (
+              SELECT user_id, event_id, event_type,
+                     length(coalesce(event_type, '')) AS rl,
+                     length(coalesce(props, '')) AS tl
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id, event_type, rl, tl,
+                     COALESCE(SUM(rl + 4 + tl + 1) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS bs
+              FROM t
+            )
+            SELECT user_id AS conv_id, event_id AS turn_idx,
+                   CAST(bs + rl + 4 AS BIGINT) AS start_char,
+                   CAST(bs + rl + 4 + tl AS BIGINT) AS end_char,
+                   event_type IN ('click', 'purchase') AS train_on
+            FROM s
+        """,
+        "role_alternation": """
+            WITH o AS (
+              SELECT user_id, event_id,
+                     coalesce(event_type, '') AS r,
+                     lag(coalesce(event_type, '')) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS pr
+              FROM events
+            )
+            SELECT user_id AS conv_id,
+                   arg_min(r, event_id) AS first_role,
+                   CAST(count(CASE WHEN r = pr THEN 1 END) AS BIGINT)
+                     AS same_role_repeats,
+                   count(CASE WHEN r = pr THEN 1 END) = 0
+                     AS strictly_alternating
+            FROM o GROUP BY user_id
+        """,
+        "truncate_budget": """
+            WITH t AS (
+              SELECT user_id, event_id,
+                     CAST(len(string_split_regex(
+                       trim(coalesce(props, '')), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT user_id AS conv_id, event_id AS turn_idx, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens,
+                   cum <= 120 AS kept
+            FROM s
+        """,
+        "boilerplate_turns": """
+            WITH h AS (
+              SELECT cast(concat('0x', substr(
+                       md5(coalesce(props, '')), 1, 15)) AS BIGINT)
+                       AS text_hash,
+                     user_id
+              FROM events
+            )
+            SELECT text_hash,
+                   count(DISTINCT user_id) AS n_convs,
+                   count(*) AS n_occurrences
+            FROM h GROUP BY text_hash
+            HAVING count(DISTINCT user_id) >= 2
+        """,
+        "conversation_windows": """
+            WITH c AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ), s AS (
+              SELECT user_id, n,
+                     unnest(generate_series(0, n - 1, 8)) AS start_pos
+              FROM c
+            )
+            SELECT user_id AS conv_id,
+                   CAST(start_pos / 8 AS BIGINT) AS window_id,
+                   CAST(start_pos AS BIGINT) AS start_pos,
+                   CAST(least(start_pos + 16, n) AS BIGINT) AS end_pos
+            FROM s
         """,
         "hash_split": """
             WITH h AS (
