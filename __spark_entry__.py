@@ -243,6 +243,74 @@ def q_cdc_mixed_mode(spark, sf):
     return out
 
 
+def q_incr_view(spark, sf):
+    """Incremental materialized aggregate under the driver's value
+    gate (lake/incremental.py): the events stream becomes a change
+    log (key (user_id, k), lsn = event_id, 'error' = delete) applied
+    to a LakeTable in two halves — COW then merge-on-read (deltas
+    left PENDING) — with an IncrementalAggView refresh after each
+    half. Each refresh folds the changelog (update pre-images
+    included) into per-user running aggregates; the final view must
+    equal a plain SQL groupBy over the LWW-folded stream. Any error
+    in change classification, pre-image payloads, signed-fold
+    arithmetic, the atomic watermark, or group deletion breaks the
+    value hash."""
+    import shutil
+    import tempfile
+
+    from oregonwaterdataportal_etl_spark.lake import (
+        AggSpec,
+        IncrementalAggView,
+        LakeTable,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.col("event_id"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).alias("li"),
+        F.col("event_type").alias("et"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    ).localCheckpoint(eager=True)
+    mid = ev.agg(F.percentile_approx("lsn", 0.5)).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="incr_view_")
+    try:
+        table = LakeTable.create(
+            os.path.join(tmp, "t"),
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("k", T.IntegerType()),
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("li", T.IntegerType()),
+                    T.StructField("et", T.StringType()),
+                ]
+            ),
+            key_cols=["user_id", "k"],
+            num_buckets=8,
+        )
+        view = IncrementalAggView(
+            os.path.join(tmp, "view"),
+            "user_id",
+            [
+                AggSpec("n_keys", "count"),
+                AggSpec("total_li", "sum", "li"),
+                AggSpec("clicks", "count_if", "et = 'click'"),
+            ],
+        )
+        table.merge(ev.filter(F.col("lsn") < mid))
+        view.refresh(spark, table)
+        table.merge(ev.filter(F.col("lsn") >= mid), mode="mor")
+        view.refresh(spark, table)  # folds the PENDING deltas' changelog
+        out = view.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_cdc_changelog(spark, sf):
     """Incremental changelog emission (LakeTable.read_changes — the
     Delta-CDF/Iceberg-changelog analog, the downstream-consumer half
@@ -941,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_tiebreak": q_lww_tiebreak,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_mixed_mode": q_cdc_mixed_mode,
+        "incr_view": q_incr_view,
         "cdc_changelog": q_cdc_changelog,
         "cdc_replica": q_cdc_replica,
         "latest_per_key": q_latest_per_key,
@@ -1340,6 +1409,25 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type != 'error'
+        """,
+        "incr_view": """
+            WITH folded AS (
+              SELECT user_id, k, li, et
+              FROM (SELECT user_id,
+                           cast(json_extract(props, '$.k') AS int) AS k,
+                           length(coalesce(props, '')) AS li,
+                           event_type AS et,
+                           row_number() OVER
+                             (PARTITION BY user_id, cast(json_extract(props, '$.k') AS int)
+                              ORDER BY event_id DESC) rn
+                    FROM events)
+              WHERE rn = 1 AND et != 'error'
+            )
+            SELECT user_id,
+                   count(*) AS n_keys,
+                   CAST(sum(li) AS BIGINT) AS total_li,
+                   count(CASE WHEN et = 'click' THEN 1 END) AS clicks
+            FROM folded GROUP BY user_id
         """,
         "cdc_replica": """
             SELECT user_id, k, round(value, 4) AS value

@@ -845,6 +845,7 @@ class LakeTable:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Incremental changelog between two snapshots — the downstream
         half of a CDC engine (Delta Change Data Feed / Iceberg
@@ -857,6 +858,16 @@ class LakeTable:
         ``_commit_lsn`` (the winning event's LSN; deletes carry the
         delete event's LSN). Updates and inserts carry the post-image;
         deletes carry the from_version pre-image.
+
+        include_preimages=True additionally emits, for every 'update'
+        row, a companion ``_change_type='update_preimage'`` row with
+        the from_version payload and the SAME ``_commit_lsn`` as its
+        post-image (the Delta CDF update_preimage/update_postimage
+        convention) — what a self-maintaining downstream aggregate
+        needs to SUBTRACT the old contribution before adding the new
+        (lake/incremental.py). Emitted in the same single pass over
+        the full-outer join (an in-row 1-or-2 element array explode),
+        never a second join.
 
         Cost scales with the CHANGE, not the table: from_version's
         high-watermark comes from parquet footer stats (no job), and
@@ -1020,29 +1031,52 @@ class LakeTable:
                   & (cur_missing | fresh), F.lit("delete"))
         )
         nonkey = [f for f in schema2.fields if f.name not in key_cols]
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(
-                # cur-missing (expired-tombstone delete) rows carry the
-                # key only on the prev side
-                *[
-                    F.coalesce(F.col(c), F.col(f"__pk_{c}")).alias(c)
-                    for c in key_cols
-                ],
-                *[
-                    F.when(
-                        F.col("_change_type") == "delete",
-                        F.col(f"__prev_{f.name}"),
-                    )
-                    .otherwise(F.col(f.name))
-                    .alias(f.name)
-                    for f in nonkey
-                ],
+        classified = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        # cur-missing (expired-tombstone delete) rows carry the
+        # key only on the prev side
+        keys_out = [
+            F.coalesce(F.col(c), F.col(f"__pk_{c}")).alias(c)
+            for c in key_cols
+        ]
+        post_payload = [
+            F.when(
+                F.col("_change_type") == "delete",
+                F.col(f"__prev_{f.name}"),
+            )
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            for f in nonkey
+        ]
+        if not include_preimages:
+            return classified.select(
+                *keys_out,
+                *post_payload,
                 F.col("_change_type"),
                 F.col("__lsn").alias("_commit_lsn"),
             )
+        # pre-image companion rows: same keys + same commit LSN as the
+        # post-image, payload from the from_version side. Built as a
+        # 1-or-2 element struct array exploded in the SAME pass — the
+        # full-outer join is never evaluated twice.
+        post_struct = F.struct(
+            *keys_out,
+            *post_payload,
+            F.col("_change_type").alias("_change_type"),
+            F.col("__lsn").alias("_commit_lsn"),
         )
+        pre_struct = F.struct(
+            *keys_out,
+            *[F.col(f"__prev_{f.name}").alias(f.name) for f in nonkey],
+            F.lit("update_preimage").alias("_change_type"),
+            F.col("__lsn").alias("_commit_lsn"),
+        )
+        rows = F.when(
+            F.col("_change_type") == "update",
+            F.array(post_struct, pre_struct),
+        ).otherwise(F.array(post_struct))
+        return classified.select(F.explode(rows).alias("__r")).select("__r.*")
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
                      buckets: list[int] | None = None) -> DataFrame | None:
@@ -1523,6 +1557,7 @@ class LakeTable:
         resolve_strategy: str = "window",
         _touched_override: list[int] | None = None,
         _operation_label: str = "merge",
+        _summary_extra: dict | None = None,
     ) -> MergeResult:
         """Apply a change batch with LWW-by-LSN semantics.
 
@@ -1631,7 +1666,8 @@ class LakeTable:
         # delta files with op tombstones; reads/compaction resolve.
         if mode == "mor":
             return self._merge_mor(
-                spark, snap, upd_tagged, evolved, dicts, touched, bexpr
+                spark, snap, upd_tagged, evolved, dicts, touched, bexpr,
+                _summary_extra=_summary_extra,
             )
 
         # existing MOR deltas for the touched buckets fold into this
@@ -1743,6 +1779,7 @@ class LakeTable:
             spark, snap, evolved, dicts, winners, touched, bexpr,
             passthru=passthru, use_passthrough=use_passthrough,
             _operation_label=_operation_label,
+            _summary_extra=_summary_extra,
         )
 
     def _finalize_cow(
@@ -1757,6 +1794,7 @@ class LakeTable:
         passthru: DataFrame | None = None,
         use_passthrough: bool = False,
         _operation_label: str = "merge",
+        _summary_extra: dict | None = None,
     ) -> MergeResult:
         """Shared copy-on-write tail: winners (columns = payload [dict-
         encoded per ``dicts``] + __lsn/__tb1/__tb2/__op/__all_chg[/__src])
@@ -1921,7 +1959,8 @@ class LakeTable:
                 "deltas": deltas,
                 "tombstones": tombstones,
                 "row_counts": row_counts,
-                "summary": {"operation": _operation_label, **result.as_dict()},
+                "summary": {"operation": _operation_label, **result.as_dict(),
+                            **(_summary_extra or {})},
             }
         )
         return result
@@ -2352,7 +2391,8 @@ class LakeTable:
                     pass
             shutil.rmtree(reg_root, ignore_errors=True)
 
-    def _merge_mor(self, spark, snap, upd_tagged, evolved, dicts, touched, bexpr) -> MergeResult:
+    def _merge_mor(self, spark, snap, upd_tagged, evolved, dicts, touched, bexpr,
+                   _summary_extra: dict | None = None) -> MergeResult:
         """Append path: within-batch LWW dedup, then per-bucket delta
         files carrying (_lsn, _op). No base read, no base rewrite."""
         key_cols = snap["key_cols"]
@@ -2414,7 +2454,8 @@ class LakeTable:
                 "tombstones": dict(snap.get("tombstones", {})),
                 # deltas are not base rows: base row lineage carries as-is
                 "row_counts": dict(snap.get("row_counts", {})),
-                "summary": {"operation": "merge-mor", **result.as_dict()},
+                "summary": {"operation": "merge-mor", **result.as_dict(),
+                            **(_summary_extra or {})},
             }
         )
         return result
