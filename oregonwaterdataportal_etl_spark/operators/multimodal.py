@@ -59,6 +59,9 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       (pngcodec.py);
     - image/bmp (uncompressed BI_RGB 24/32-bit) -> same histogram
       (bmpcodec.py);
+    - image/gif (GIF87a/89a incl. interlace, local palettes,
+      transparency; first composited frame) -> same histogram
+      (gifcodec.py);
     - image/jpeg baseline sequential (SOF0/SOF1, incl. 4:2:0/4:2:2
       subsampling and restart markers) -> same histogram (jpegcodec.py);
     - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
@@ -73,6 +76,7 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
     The flag makes the fallback filterable instead of silent."""
     from .avicodec import AVI_MAGIC, decode_avi_frames
     from .bmpcodec import BMP_MAGIC, decode_bmp
+    from .gifcodec import GIF_MAGIC, decode_gif
     from .jpegcodec import JPEG_MAGIC, decode_jpeg
     from .pngcodec import PNG_MAGIC, decode_png, luminance_histogram
     from .wavcodec import WAV_MAGIC, decode_wav, log_spectrum_feature
@@ -82,6 +86,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
             return luminance_histogram(decode_png(payload), bins=32), True
         if mime in ("image/bmp", "image/x-ms-bmp") and payload.startswith(BMP_MAGIC):
             return luminance_histogram(decode_bmp(payload), bins=32), True
+        if mime == "image/gif" and payload.startswith(GIF_MAGIC):
+            return luminance_histogram(decode_gif(payload), bins=32), True
         if mime in ("image/jpeg", "image/jpg") and payload.startswith(JPEG_MAGIC):
             return luminance_histogram(decode_jpeg(payload), bins=32), True
         if mime in ("audio/wav", "audio/x-wav", "audio/wave") and payload.startswith(
@@ -142,13 +148,15 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize over Arrow batches. image/png, image/bmp, baseline
-    image/jpeg and Motion-JPEG video/avi: REAL nearest-neighbor resize
+    image/jpeg, image/gif (every frame, animation preserved) and
+    Motion-JPEG video/avi: REAL nearest-neighbor resize
     via the in-tree codecs (decode -> resize -> re-encode, staying in
     the source format; AVI resizes every frame and repacks the
     container). Other mimes still raise (PIL territory);
     'application/x-test' passes through for plumbing tests."""
     from .avicodec import AVI_MAGIC, avi_info, decode_avi_frames, encode_avi_mjpeg
     from .bmpcodec import BMP_MAGIC, decode_bmp, encode_bmp
+    from .gifcodec import GIF_MAGIC, decode_gif_frames, encode_gif
     from .jpegcodec import JPEG_MAGIC, decode_jpeg, encode_jpeg
     from .pngcodec import PNG_MAGIC, decode_png, encode_png, resize_nearest
 
@@ -171,6 +179,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 ).startswith(JPEG_MAGIC):
                     arr = resize_nearest(decode_jpeg(bytes(p)), width, height)
                     out.append(encode_jpeg(arr))
+                elif m == "image/gif" and p is not None and bytes(p).startswith(
+                    GIF_MAGIC
+                ):
+                    frames, delays = decode_gif_frames(bytes(p))
+                    resized = [resize_nearest(fr, width, height) for fr in frames]
+                    out.append(
+                        encode_gif(resized, delay_cs=delays[0] if delays else 4)
+                    )
                 elif m in ("video/avi", "video/x-msvideo", "video/msvideo") and (
                     p is not None and bytes(p).startswith(AVI_MAGIC)
                 ):
@@ -198,11 +214,14 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     row (media_id, frame_idx, frame, decoded). REAL for Motion-JPEG
     AVIs (avicodec.py container parse; each emitted frame is a complete
     baseline JPEG — decode with jpegcodec, decoded=True, frame_idx is
-    the ORIGINAL stream index). Non-AVI video payloads keep the
-    documented stub (deterministic byte slices, decoded=False) so the
-    row-explosion / partition shape stays testable for mimes whose
-    codecs need ffmpeg."""
+    the ORIGINAL stream index) and for animated GIFs (gifcodec.py;
+    frames are composited full-canvas images re-encoded as
+    single-frame GIFs, so each row is a self-contained payload).
+    Other video payloads keep the documented stub (deterministic byte
+    slices, decoded=False) so the row-explosion / partition shape
+    stays testable for mimes whose codecs need ffmpeg."""
     from .avicodec import AVI_MAGIC, decode_avi_frames
+    from .gifcodec import GIF_MAGIC, decode_gif_frames, encode_gif
 
     out_schema = T.StructType(
         [
@@ -230,6 +249,18 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                             rows["media_id"].append(mid)
                             rows["frame_idx"].append(i)
                             rows["frame"].append(frames[i])
+                            rows["decoded"].append(True)
+                        continue
+                if p.startswith(GIF_MAGIC):
+                    try:
+                        gframes, _delays = decode_gif_frames(p)
+                    except ValueError:
+                        gframes = None
+                    if gframes is not None:
+                        for i in range(0, len(gframes), max(every_n, 1)):
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(i)
+                            rows["frame"].append(encode_gif(gframes[i]))
                             rows["decoded"].append(True)
                         continue
                 n_frames = max(len(p) // every_n, 1)
@@ -271,6 +302,7 @@ def _probe_one(payload: bytes, mime: str) -> dict | None:
 
     from .avicodec import AVI_MAGIC, avi_info
     from .bmpcodec import BMP_MAGIC
+    from .gifcodec import GIF_MAGIC, gif_info
     from .jpegcodec import JPEG_MAGIC, jpeg_info
     from .mp3codec import ID3_MAGIC, parse_mp3_info
     from .pngcodec import PNG_MAGIC
@@ -286,6 +318,14 @@ def _probe_one(payload: bytes, mime: str) -> dict | None:
         if payload.startswith(JPEG_MAGIC):
             ji = jpeg_info(payload)
             return {"width": ji["width"], "height": ji["height"]}
+        if payload.startswith(GIF_MAGIC):
+            gi = gif_info(payload)
+            return {
+                "width": gi["width"],
+                "height": gi["height"],
+                "n_frames": gi["n_frames"],
+                "duration_s": gi["duration_s"],
+            }
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             ai = avi_info(payload)
             us = ai["us_per_frame"]
