@@ -132,3 +132,113 @@ def avi_info(payload: bytes) -> dict:
                         "fps": round(1_000_000 / v[0], 3) if v[0] else None,
                     }
     raise ValueError("AVI missing avih header")
+
+
+# ------------------------------------------------- uncompressed (DIB)
+
+
+def avi_stream_format(payload: bytes) -> dict:
+    """Video stream format from strh/strf (no frame decode):
+    handler fourcc, biCompression, bit depth, dimensions."""
+    _require_avi(payload)
+    for four, start, stop in _walk_chunks(payload, 12, len(payload)):
+        if four != b"hdrl":
+            continue
+        for cc, s, e in _walk_chunks(payload, start, stop):
+            if cc != b"strl":
+                continue
+            handler = None
+            for c2, s2, e2 in _walk_chunks(payload, s, e):
+                if c2 == b"strh" and e2 - s2 >= 8:
+                    if payload[s2 : s2 + 4] != b"vids":
+                        break  # audio/other stream: skip this strl
+                    handler = payload[s2 + 4 : s2 + 8]
+                elif c2 == b"strf" and e2 - s2 >= 20 and handler is not None:
+                    _sz, w, h, _planes, bits = struct.unpack_from(
+                        "<IiiHH", payload, s2
+                    )
+                    compression = payload[s2 + 16 : s2 + 20]
+                    return {
+                        "handler": handler,
+                        "compression": compression,
+                        "bits": bits,
+                        "width": w,
+                        "height": abs(h),
+                        "bottom_up": h > 0,
+                    }
+    raise ValueError("AVI has no video stream format")
+
+
+def encode_avi_rawrgb(
+    frames: list["np.ndarray"], fps: int = 30
+) -> bytes:
+    """Pack uncompressed (H, W, 3) uint8 RGB frames as a raw-DIB AVI
+    (biCompression=0, 24bpp bottom-up BGR rows padded to 4 bytes —
+    the standard uncompressed 'DIB ' stream)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("cannot encode an AVI with zero frames")
+    h, w = frames[0].shape[:2]
+    row_pad = (-(w * 3)) % 4
+    dibs = []
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("all frames must be (H, W, 3) uint8 of one shape")
+        bgr = f[::-1, :, ::-1]  # bottom-up, RGB -> BGR
+        if row_pad:
+            rows = np.zeros((h, w * 3 + row_pad), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            dibs.append(rows.tobytes())
+        else:
+            dibs.append(bgr.tobytes())
+    frame_bytes = len(dibs[0])
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1), frame_bytes * fps, 0, 0x10,
+        len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), frame_bytes,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"\x00\x00\x00\x00",
+        frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", d) for d in dibs))
+    idx_entries, off = [], 4
+    for d in dibs:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(d)))
+        off += 8 + len(d) + (len(d) % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_rgb_frames(payload: bytes) -> list["np.ndarray"]:
+    """Decode a raw-DIB AVI's frames to (H, W, 3) uint8 RGB arrays."""
+    import numpy as np
+
+    fmt = avi_stream_format(payload)
+    if fmt["compression"] != b"\x00\x00\x00\x00" or fmt["bits"] != 24:
+        raise ValueError("not an uncompressed 24-bit DIB AVI")
+    w, h = fmt["width"], fmt["height"]
+    stride = w * 3 + ((-(w * 3)) % 4)
+    out = []
+    for raw in decode_avi_frames(payload):
+        if len(raw) < stride * h:
+            raise ValueError("truncated DIB frame")
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        if fmt["bottom_up"]:
+            bgr = bgr[::-1]
+        out.append(bgr[:, :, ::-1].copy())
+    return out

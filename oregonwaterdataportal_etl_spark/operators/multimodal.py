@@ -66,8 +66,9 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       subsampling and restart markers) -> same histogram (jpegcodec.py);
     - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
       (wavcodec.py, numpy FFT);
-    - video/avi Motion-JPEG (RIFF container, avicodec.py) -> luminance
-      histogram of the FIRST frame via the jpeg codec.
+    - video/avi Motion-JPEG or uncompressed 24-bit DIB (RIFF
+      container, avicodec.py) -> luminance histogram of the FIRST
+      frame (jpeg codec / direct RGB rows respectively).
     Other image/audio/video mimes (and payloads the minimal codecs
     can't parse: palette/interlaced/16-bit PNG, RLE/paletted BMP,
     PROGRESSIVE jpeg, non-PCM WAV, non-MJPG AVI, truncated blobs):
@@ -98,6 +99,12 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
         if mime in ("video/avi", "video/x-msvideo", "video/msvideo") and (
             payload.startswith(AVI_MAGIC)
         ):
+            from .avicodec import avi_stream_format, decode_avi_rgb_frames
+
+            fmt = avi_stream_format(payload)
+            if fmt["compression"] == b"\x00\x00\x00\x00" and fmt["bits"] == 24:
+                first_rgb = decode_avi_rgb_frames(payload)[0]
+                return luminance_histogram(first_rgb, bins=32), True
             first = decode_avi_frames(payload)[0]
             return luminance_histogram(decode_jpeg(first), bins=32), True
     except Exception:
@@ -190,14 +197,30 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif m in ("video/avi", "video/x-msvideo", "video/msvideo") and (
                     p is not None and bytes(p).startswith(AVI_MAGIC)
                 ):
+                    from .avicodec import (
+                        avi_stream_format,
+                        decode_avi_rgb_frames,
+                        encode_avi_rawrgb,
+                    )
+
                     p = bytes(p)
                     info = avi_info(p)
                     fps = int(info.get("fps") or 30)
-                    resized = [
-                        encode_jpeg(resize_nearest(decode_jpeg(fr), width, height))
-                        for fr in decode_avi_frames(p)
-                    ]
-                    out.append(encode_avi_mjpeg(resized, width, height, fps=fps))
+                    fmt = avi_stream_format(p)
+                    if fmt["compression"] == b"\x00\x00\x00\x00" and fmt["bits"] == 24:
+                        rraw = [
+                            resize_nearest(fr, width, height)
+                            for fr in decode_avi_rgb_frames(p)
+                        ]
+                        out.append(encode_avi_rawrgb(rraw, fps=fps))
+                    else:
+                        resized = [
+                            encode_jpeg(
+                                resize_nearest(decode_jpeg(fr), width, height)
+                            )
+                            for fr in decode_avi_frames(p)
+                        ]
+                        out.append(encode_avi_mjpeg(resized, width, height, fps=fps))
                 else:
                     raise NotImplementedError(
                         "resize for this mime requires PIL; not available here"
@@ -214,7 +237,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     row (media_id, frame_idx, frame, decoded). REAL for Motion-JPEG
     AVIs (avicodec.py container parse; each emitted frame is a complete
     baseline JPEG — decode with jpegcodec, decoded=True, frame_idx is
-    the ORIGINAL stream index) and for animated GIFs (gifcodec.py;
+    the ORIGINAL stream index), for uncompressed 24-bit DIB AVIs
+    (each sampled frame re-encoded as a self-contained BMP payload)
+    and for animated GIFs (gifcodec.py;
     frames are composited full-canvas images re-encoded as
     single-frame GIFs, so each row is a self-contained payload).
     Other video payloads keep the documented stub (deterministic byte
@@ -240,8 +265,21 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 p = bytes(p)
                 if p.startswith(AVI_MAGIC):
+                    from .avicodec import avi_stream_format, decode_avi_rgb_frames
+                    from .bmpcodec import encode_bmp
+
                     try:
-                        frames = decode_avi_frames(p)
+                        fmt = avi_stream_format(p)
+                        if fmt["compression"] == b"\x00\x00\x00\x00" and (
+                            fmt["bits"] == 24
+                        ):
+                            # raw DIB frames aren't self-contained:
+                            # emit each sampled frame as a BMP payload
+                            frames = [
+                                encode_bmp(fr) for fr in decode_avi_rgb_frames(p)
+                            ]
+                        else:
+                            frames = decode_avi_frames(p)
                     except ValueError:
                         frames = None
                     if frames is not None:
