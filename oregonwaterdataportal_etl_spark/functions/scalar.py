@@ -193,3 +193,49 @@ def hash_sample(col: Column | str, fraction: float, seed: str = "sample",
         F.lit(resolution),
     )
     return h < F.lit(int(round(fraction * resolution)))
+
+
+def zorder_key(
+    cols: list,
+    mins: list,
+    maxs: list,
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key over 2-4 numeric columns — the clustering
+    expression behind ``LakeTable.compact(cluster_by=...)`` (Delta
+    OPTIMIZE ZORDER analog). Each column is clamped to [min, max],
+    normalized to ``bits`` bits, and the bits are interleaved so rows
+    close in EVERY dimension sort near each other; parquet row-group
+    min/max stats then stay tight on every clustered column at once,
+    and a range filter on any of them skips row groups.
+
+    Pure JVM expression tree (shifts/and/or — codegen-friendly, no
+    UDF). The normalization is ``floor(((x - min) * (2^bits - 1)) /
+    span)`` with IEEE double division, which DuckDB reproduces
+    bit-for-bit for spans below 2^53 / (2^bits - 1) — the oracle-parity
+    route used by the `zorder_key` entry query."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("zorder_key needs 2-4 columns")
+    if len(mins) != n or len(maxs) != n:
+        raise ValueError("mins/maxs must align with cols")
+    if bits * n > 63:
+        raise ValueError(f"bits*ncols must fit a long, got {bits * n}")
+    scale = (1 << bits) - 1
+    norms = []
+    for c, m, M in zip(cols, mins, maxs):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        lo, hi = int(m), int(M)
+        span = max(hi - lo, 1)
+        clamped = F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+        norms.append(
+            F.floor(((clamped - F.lit(lo)) * F.lit(scale)) / F.lit(span))
+            .cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, norm in enumerate(norms):
+            pos = j * n + (n - 1 - i)
+            bit = F.shiftright(norm, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, pos))
+    return z

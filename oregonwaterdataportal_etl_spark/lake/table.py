@@ -568,6 +568,7 @@ class LakeTable:
         key_pred=None,
         n_buckets: int | None = None,
         _internal_cols: bool = False,
+        files_allow: set[str] | None = None,
     ) -> DataFrame:
         """Shared MOR read path for one PINNED snapshot version: base (+
         tombstones as base-side deletes) LWW-resolved against delta
@@ -590,10 +591,13 @@ class LakeTable:
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         dicts = snap.get("dict_cols") or {}
-        base = self._read_internal(spark, version, buckets=buckets, _snap=snap)
+        base = self._read_internal(
+            spark, version, buckets=buckets, _snap=snap, files_allow=files_allow
+        )
         if key_pred is not None:
             base = base.filter(key_pred)
-        deltas = self._read_deltas(spark, snap, buckets=buckets)
+        deltas = self._read_deltas(spark, snap, buckets=buckets,
+                                   files_allow=files_allow)
         if deltas is None:
             if _internal_cols:
                 live = base.select(
@@ -601,7 +605,8 @@ class LakeTable:
                     F.col(LSN_COL).alias("__lsn"),
                     F.lit(False).alias("__deleted"),
                 )
-                tomb0 = self._read_tombstones(spark, snap, buckets=buckets)
+                tomb0 = self._read_tombstones(spark, snap, buckets=buckets,
+                                              files_allow=files_allow)
                 if tomb0 is not None:
                     if key_pred is not None:
                         tomb0 = tomb0.filter(key_pred)
@@ -634,7 +639,8 @@ class LakeTable:
         base_tagged = tag(base, F.lit(_OP_BASE).cast("tinyint"), 0, filtered=True)
         # tombstones participate so a stale lower-LSN delta event for a
         # deleted key cannot resurrect it at read time
-        tomb = self._read_tombstones(spark, snap, buckets=buckets)
+        tomb = self._read_tombstones(spark, snap, buckets=buckets,
+                                     files_allow=files_allow)
         if tomb is not None:
             base_tagged = base_tagged.unionByName(
                 tag(tomb, F.lit(_OP_DELETE).cast("tinyint"), 0)
@@ -811,18 +817,34 @@ class LakeTable:
             raise ValueError(f"unknown resolve strategy {resolve!r}")
         return out.select(*columns) if columns is not None else out
 
-    def lookup(self, spark: SparkSession, **key_values) -> DataFrame:
+    @property
+    def bloom_dir(self) -> str:
+        return os.path.join(self.path, "_blooms")
+
+    def lookup(
+        self, spark: SparkSession, use_blooms: bool = True, **key_values
+    ) -> DataFrame:
         """Point read by FULL primary key with bucket pruning: the key's
         bucket is computed with the table's own hash, and only that
         bucket's base/delta/tombstone files are scanned — O(1/num_buckets)
         of the table per lookup (the serving-layer read; Iceberg analog:
         bucket-transform partition pruning on an equality predicate).
 
+        On top of the bucket, per-file key blooms (lake/bloom.py, built
+        by build_blooms) drop candidate files that provably cannot hold
+        the key — at CDC steady state a bucket holds many delta files
+        and the key lives in few, so the lookup goes from O(files in
+        bucket) to O(files containing the key) + the bloom's ~1% false
+        positives. Files without a sidecar are read conservatively;
+        use_blooms=False restores the pure bucket path.
+
         All key columns are required — the bucket hash covers the full
         key, so a partial key cannot prune (use read().filter() there).
         Null key values are matched null-safely (the layout hashes
         nulls consistently, and merge treats null-keyed rows as ordinary
         keys)."""
+        from .bloom import bloom_hash_cols, load_sidecar
+
         v = self.current_version()
         snap = self.snapshot(v)
         key_cols = snap["key_cols"]
@@ -833,12 +855,104 @@ class LakeTable:
         row = tuple(key_values[f.name] for f in key_fields)
         probe = spark.createDataFrame([row], T.StructType(key_fields))
         # one 1-row job: the bucket function is Spark's hash — computing
-        # it anywhere else would risk divergence from the layout
-        b = probe.select(self._bucket_expr(snap).alias("b")).collect()[0]["b"]
+        # it anywhere else would risk divergence from the layout; the
+        # bloom limbs ride the same job (same reason: xxhash64 must be
+        # Spark's, bit-for-bit, or probes would diverge from builds)
+        h1c, h2c = bloom_hash_cols(key_cols)
+        pr = probe.select(self._bucket_expr(snap).alias("b"), h1c, h2c).collect()[0]
+        b = pr["b"]
+        files_allow = None
+        if use_blooms and os.path.isdir(self.bloom_dir):
+            files_allow = set()
+            for coll in (snap["files"], snap.get("tombstones", {}),
+                         snap.get("deltas", {})):
+                for fl in (coll.get(str(b)) or coll.get(b) or []):
+                    side = load_sidecar(self.bloom_dir, fl)
+                    if side is None or side.might_contain(pr["__bh1"], pr["__bh2"]):
+                        files_allow.add(fl)
         pred = _and_all(
             F.col(c).eqNullSafe(F.lit(key_values[c])) for c in key_cols
         )
-        return self._resolved_view(spark, v, buckets=[b], key_pred=pred, n_buckets=1)
+        return self._resolved_view(
+            spark, v, buckets=[b], key_pred=pred, n_buckets=1,
+            files_allow=files_allow,
+        )
+
+    def build_blooms(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        bits_per_key: int = 10,
+        k: int = 7,
+    ) -> int:
+        """Build missing per-file key bloom sidecars for a snapshot's
+        base/tombstone/delta files (maintenance op, typically after
+        merge/compact cadences). Returns the number of sidecars built.
+
+        One column-pruned scan of ONLY the files lacking a sidecar
+        (key columns + the two JVM-side xxhash64 limbs), one groupBy
+        input_file_name whose pandas stage just sets bits (vectorized),
+        and a driver collect bounded at one small row per file. Files
+        are immutable, so sidecars are deterministic and idempotent —
+        no commit protocol, concurrent builders are harmless."""
+        from .bloom import (
+            FileBloom, bloom_hash_cols, sidecar_name, write_sidecar,
+        )
+
+        v = self.current_version() if version is None else version
+        snap = self.snapshot(v)
+        key_cols = snap["key_cols"]
+        all_files = [
+            f
+            for coll in (snap["files"], snap.get("tombstones", {}),
+                         snap.get("deltas", {}))
+            for fl in coll.values()
+            for f in fl
+        ]
+        missing = [
+            f for f in all_files
+            if not os.path.exists(os.path.join(self.bloom_dir, sidecar_name(f)))
+        ]
+        if not missing:
+            return 0
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        key_schema = T.StructType(
+            [f for f in schema.fields if f.name in key_cols]
+        )
+        hashed = (
+            spark.read.schema(key_schema).parquet(*missing)
+            .select(
+                F.input_file_name().alias("__file"), *bloom_hash_cols(key_cols)
+            )
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("file", T.StringType(), False),
+                T.StructField("n_keys", T.LongType(), False),
+                T.StructField("bloom", T.BinaryType(), False),
+            ]
+        )
+
+        def build(pdf):
+            import pandas as pd
+
+            blob = FileBloom.build(
+                pdf["__bh1"].to_numpy(), pdf["__bh2"].to_numpy(),
+                bits_per_key=bits_per_key, k=k,
+            ).to_bytes()
+            return pd.DataFrame(
+                {"file": [pdf["__file"].iloc[0]], "n_keys": [len(pdf)],
+                 "bloom": [blob]}
+            )
+
+        rows = hashed.groupBy("__file").applyInPandas(build, out_schema).collect()
+        # input_file_name yields URIs (file:///...); sidecar naming uses
+        # the path tail so both spellings land on the same sidecar
+        built = 0
+        for r in rows:
+            write_sidecar(self.bloom_dir, r["file"], bytes(r["bloom"]))
+            built += 1
+        return built
 
     def read_changes(
         self,
@@ -1079,12 +1193,15 @@ class LakeTable:
         return classified.select(F.explode(rows).alias("__r")).select("__r.*")
 
     def _read_deltas(self, spark: SparkSession, snap: dict,
-                     buckets: list[int] | None = None) -> DataFrame | None:
+                     buckets: list[int] | None = None,
+                     files_allow: set[str] | None = None) -> DataFrame | None:
         """Read merge-on-read delta files (payload + _lsn + _op)."""
         dfiles: list[str] = []
         for b, flist in snap.get("deltas", {}).items():
             if buckets is None or int(b) in buckets:
-                dfiles.extend(flist)
+                dfiles.extend(
+                    f for f in flist if files_allow is None or f in files_allow
+                )
         if not dfiles:
             return None
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
@@ -1103,13 +1220,16 @@ class LakeTable:
         return spark.read.schema(stored).parquet(*dfiles)
 
     def _read_tombstones(self, spark: SparkSession, snap: dict,
-                         buckets: list[int] | None = None) -> DataFrame | None:
+                         buckets: list[int] | None = None,
+                         files_allow: set[str] | None = None) -> DataFrame | None:
         """Read retained tombstone files (winning-delete rows with
         their _lsn). Schema = stored schema; payload columns are null."""
         tfiles: list[str] = []
         for b, flist in snap.get("tombstones", {}).items():
             if buckets is None or int(b) in buckets:
-                tfiles.extend(flist)
+                tfiles.extend(
+                    f for f in flist if files_allow is None or f in files_allow
+                )
         if not tfiles:
             return None
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
@@ -1271,6 +1391,7 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         _snap: dict | None = None,
+        files_allow: set[str] | None = None,
     ) -> DataFrame:
         # _snap: caller's already-parsed snapshot (the manifest JSON can
         # carry thousands of file paths — don't re-parse it per helper
@@ -1289,7 +1410,9 @@ class LakeTable:
         files: list[str] = []
         for b, flist in snap["files"].items():
             if buckets is None or int(b) in buckets:
-                files.extend(flist)
+                files.extend(
+                    f for f in flist if files_allow is None or f in files_allow
+                )
         if not files:
             return spark.createDataFrame([], stored)
         # mergeSchema not needed: we pass the (superset) snapshot
@@ -1402,6 +1525,8 @@ class LakeTable:
         pre_partitioned: bool = False,
         sort_within: bool = False,
         _snap: dict | None = None,
+        sort_expr=None,
+        row_group_bytes: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df (stored schema + _b) into per-bucket parquet files.
 
@@ -1428,11 +1553,19 @@ class LakeTable:
             # _BUCKET_COL leads the sort: the dynamic-partition writer
             # requires ordering by the partition column and would insert
             # its OWN (unstable) sort otherwise, scrambling the key
-            # clustering this exists to produce
-            df = df.sortWithinPartitions(
-                F.col(_BUCKET_COL), *[F.col(c) for c in key_cols]
+            # clustering this exists to produce. sort_expr (e.g. a
+            # z-order key) replaces the key clustering when given.
+            order = (
+                [sort_expr] if sort_expr is not None
+                else [F.col(c) for c in key_cols]
             )
-        df.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(out_dir)
+            df = df.sortWithinPartitions(F.col(_BUCKET_COL), *order)
+        writer = df.write.partitionBy(_BUCKET_COL).mode("overwrite")
+        if row_group_bytes is not None:
+            # smaller parquet row groups = finer stats granularity for
+            # skip-scans (and the knob the clustering tests pin)
+            writer = writer.option("parquet.block.size", str(row_group_bytes))
+        writer.parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith(f"{_BUCKET_COL}="):
@@ -2549,6 +2682,9 @@ class LakeTable:
         target_files_per_bucket: int = 1,
         min_delta_files: int = 1,
         fold_strategy: str = "zx",
+        cluster_by: list[str] | None = None,
+        cluster_bits: int = 16,
+        row_group_bytes: int | None = None,
     ) -> int:
         """Bin-pack small files: rewrite every bucket that has more
         than target_files_per_bucket files into fewer, larger files.
@@ -2567,7 +2703,19 @@ class LakeTable:
         fold_strategy='zx' (default) folds deltas through the
         zero-exchange resolve (_fold_deltas_zx — KB-level shuffle
         instead of re-shuffling the touched base; see DESIGN.md §13);
-        'window' keeps the original one-exchange merge fold."""
+        'window' keeps the original one-exchange merge fold.
+
+        cluster_by: Z-ORDER the rewrite (Delta OPTIMIZE ZORDER analog).
+        Every bucket is rewritten (re-clustering is the point, so the
+        already-compact skip does not apply) with rows ordered by the
+        Morton interleave of the named numeric columns
+        (functions.scalar.zorder_key; min/max come from one small agg
+        over the rewritten rows). Row-group min/max stats then stay
+        tight on EVERY clustered column, so range filters on any of
+        them skip row groups — where the default key-sort only serves
+        key lookups. The resolved row SET is unchanged either way.
+        row_group_bytes caps parquet row-group size (finer stats
+        granularity; also the knob the clustering tests pin)."""
         if fold_strategy not in ("zx", "window"):
             raise ValueError(f"unknown fold_strategy {fold_strategy!r}")
         snap = self.snapshot()
@@ -2605,7 +2753,7 @@ class LakeTable:
             snap = self.snapshot()
         to_rewrite = {
             b: fl for b, fl in snap["files"].items()
-            if len(fl) > target_files_per_bucket
+            if cluster_by is not None or len(fl) > target_files_per_bucket
         }
         if not to_rewrite:
             return snap["version"]
@@ -2613,10 +2761,33 @@ class LakeTable:
         all_small = [f for fl in to_rewrite.values() for f in fl]
         df = spark.read.schema(stored).parquet(*all_small)
         out = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        sort_expr = None
+        if cluster_by is not None:
+            from ..functions.scalar import zorder_key
+
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            known = {f.name for f in schema.fields}
+            unknown = set(cluster_by) - known
+            if unknown:
+                raise ValueError(f"unknown cluster_by columns: {sorted(unknown)}")
+            # one tiny agg job for the normalization ranges
+            aggs = []
+            for c in cluster_by:
+                aggs.append(F.min(F.col(c).cast("long")).alias(f"mn_{c}"))
+                aggs.append(F.max(F.col(c).cast("long")).alias(f"mx_{c}"))
+            r = df.agg(*aggs).collect()[0]
+            mins = [r[f"mn_{c}"] if r[f"mn_{c}"] is not None else 0
+                    for c in cluster_by]
+            maxs = [r[f"mx_{c}"] if r[f"mx_{c}"] is not None else 0
+                    for c in cluster_by]
+            sort_expr = zorder_key(cluster_by, mins, maxs, bits=cluster_bits)
         # one task per bucket: coalesce within the bucket, no global
-        # shuffle; key-sorted rows give tight row-group stats for
-        # lookup-time row-group skipping
-        new_files = self._write_buckets(out, sort_within=True, _snap=snap)
+        # shuffle; key-sorted (or z-ordered) rows give tight row-group
+        # stats for skip-scans
+        new_files = self._write_buckets(
+            out, sort_within=True, _snap=snap,
+            sort_expr=sort_expr, row_group_bytes=row_group_bytes,
+        )
         files = dict(snap["files"])
         for b in to_rewrite:
             files.pop(b, None)
@@ -2649,6 +2820,11 @@ class LakeTable:
                     "rewritten_buckets": sorted(int(b) for b in to_rewrite),
                     "files_before": len(all_small),
                     "files_after": sum(len(fl) for fl in new_files.values()),
+                    **(
+                        {"clustered_by": list(cluster_by)}
+                        if cluster_by is not None
+                        else {}
+                    ),
                 },
             }
         )
@@ -2845,6 +3021,25 @@ class LakeTable:
                         _shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
+        # sweep bloom sidecars whose data file is gone: sidecars are
+        # only ever built for COMMITTED snapshot files (the data file
+        # always exists first), so a sidecar with no on-disk parquet
+        # behind it is provably dead — no grace needed.
+        if os.path.isdir(self.bloom_dir):
+            from .bloom import sidecar_name as _scn
+
+            live_sidecars = {
+                _scn(os.path.join(root, f))
+                for root, _d, fl in os.walk(self.data_dir)
+                for f in fl
+                if f.endswith(".parquet")
+            }
+            for entry in os.listdir(self.bloom_dir):
+                if entry.endswith(".bloom") and entry not in live_sidecars:
+                    try:
+                        os.remove(os.path.join(self.bloom_dir, entry))
+                    except OSError:
+                        pass
         # expire old snapshot manifests too (never the orphans past
         # CURRENT — they roll forward at the next commit)
         for snap in expired:
