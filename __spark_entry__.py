@@ -858,6 +858,35 @@ def q_hash_split(spark, sf):
     )
 
 
+def q_zorder_key(spark, sf):
+    """Morton / z-order clustering key (functions/scalar.zorder_key —
+    the sort expression behind LakeTable.compact(cluster_by=...),
+    Delta OPTIMIZE ZORDER analog): 8-bit normalize-and-interleave of
+    (l_partkey, l_suppkey). Pure JVM expression tree; the min/max
+    normalization ranges come from one 1-row agg (the same bounded
+    collect compact() does). The oracle replays the identical
+    clamp/scale/floor + bit-interleave arithmetic in SQL, so a typed
+    value hash proves both engines place every row at the same Morton
+    position."""
+    li = _t(spark, sf, "lineitem")
+    r = li.agg(
+        F.min(F.col("l_partkey").cast("long")).alias("mnp"),
+        F.max(F.col("l_partkey").cast("long")).alias("mxp"),
+        F.min(F.col("l_suppkey").cast("long")).alias("mns"),
+        F.max(F.col("l_suppkey").cast("long")).alias("mxs"),
+    ).collect()[0]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        scalar.zorder_key(
+            ["l_partkey", "l_suppkey"],
+            [r["mnp"], r["mns"]],
+            [r["mxp"], r["mxs"]],
+            bits=8,
+        ).alias("zkey"),
+    )
+
+
 def q_decontaminate(spark, sf):
     """GPT-3-style benchmark decontamination: flag training docs
     sharing ANY word 13-gram with a benchmark corpus (here: every 50th
@@ -1043,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
+        "zorder_key": q_zorder_key,
         "redact_pii": q_redact_pii,
         "conversation_fingerprint": q_conversation_fingerprint,
         "conversation_stats": q_conversation_stats,
@@ -1874,6 +1904,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_pos AS BIGINT) AS start_pos,
                    CAST(least(start_pos + 16, n) AS BIGINT) AS end_pos
             FROM s
+        """,
+        "zorder_key": """
+            WITH r AS (
+              SELECT CAST(min(l_partkey) AS BIGINT) AS mnp,
+                     CAST(max(l_partkey) AS BIGINT) AS mxp,
+                     CAST(min(l_suppkey) AS BIGINT) AS mns,
+                     CAST(max(l_suppkey) AS BIGINT) AS mxs
+              FROM lineitem
+            ),
+            n AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(floor(((least(greatest(CAST(l_partkey AS BIGINT), mnp), mxp) - mnp) * 255) / greatest(mxp - mnp, 1)) AS BIGINT) AS np,
+                     CAST(floor(((least(greatest(CAST(l_suppkey AS BIGINT), mns), mxs) - mns) * 255) / greatest(mxs - mns, 1)) AS BIGINT) AS ns
+              FROM lineitem, r
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ("""
+        + " | ".join(
+            f"(((np >> {j}) & 1) << {2 * j + 1}) | (((ns >> {j}) & 1) << {2 * j})"
+            for j in range(8)
+        )
+        + """) AS zkey
+            FROM n
         """,
         "hash_split": """
             WITH h AS (
