@@ -1015,6 +1015,100 @@ def q_count_distinct(spark, sf):
     )
 
 
+def _envelope_wire(spark, sf):
+    """Deterministic Debezium-style wire traffic synthesized from the
+    events table: op c/u/d per row (plus an invalid op every 997th
+    LSN), source.lsn = event_id (withheld every 991st), whole-record
+    corruption every 983rd — all pure expressions, mirrored exactly by
+    the envelope-family oracles. Payload = the transcript projection
+    (conv_id, turn_idx, role, text)."""
+    ev = _t(spark, sf, "events")
+    img = F.struct(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.get_json_object("props", "$.k").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    op_raw = (
+        F.when(F.pmod("event_id", F.lit(997)) == 1, F.lit("x"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.pmod("event_id", F.lit(7)) == 3, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    env = F.to_json(
+        F.struct(
+            op_raw.alias("op"),
+            F.when(op_raw == "d", img).alias("before"),
+            F.when(op_raw != "d", img).alias("after"),
+            F.struct(
+                F.when(
+                    F.pmod("event_id", F.lit(991)) != 2, F.col("event_id")
+                ).alias("lsn")
+            ).alias("source"),
+        )
+    )
+    return ev.select(
+        F.when(
+            F.pmod("event_id", F.lit(983)) == 5, F.substring(env, 1, 9)
+        )
+        .otherwise(env)
+        .alias("value")
+    )
+
+
+def q_envelope_roundtrip(spark, sf):
+    """Envelope front-end decode (cdc/envelope.py parse_envelopes +
+    split_dlq): the clean side of synthesized wire traffic, value-gated
+    against an oracle that computes the expected survivors and field
+    values directly — any field the parser loses or mangles flips the
+    hash. One from_json, no shuffle, no Python."""
+    from oregonwaterdataportal_etl_spark.cdc import parse_envelopes, split_dlq
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    clean, _ = split_dlq(parse_envelopes(_envelope_wire(spark, sf), schema))
+    return clean.select("conv_id", "turn_idx", "role", "text", "op", "lsn")
+
+
+def q_envelope_dlq(spark, sf):
+    """Dead-letter quarantine counts by machine-readable reason, with
+    the parse's reason precedence (malformed > missing_lsn > bad_op)
+    replicated in the oracle's CASE."""
+    from oregonwaterdataportal_etl_spark.cdc import parse_envelopes, split_dlq
+
+    schema = T.StructType([T.StructField("conv_id", T.StringType())])
+    _, dlq = split_dlq(parse_envelopes(_envelope_wire(spark, sf), schema))
+    return dlq.groupBy(F.col("_dlq_reason").alias("reason")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_txn_gate(spark, sf):
+    """Transaction-boundary gating (cdc/envelope.py
+    gate_transactions): events grouped into 4-event transactions by
+    LSN; every 13th event is withheld (still in flight upstream), so
+    its transaction is incomplete and must NOT pass the gate. One
+    window shuffle on txn_id, per-group state = one transaction."""
+    from oregonwaterdataportal_etl_spark.cdc import gate_transactions
+
+    ev = _t(spark, sf, "events").filter(F.pmod("event_id", F.lit(13)) != 0)
+    df = ev.select(
+        F.col("event_id"),
+        F.concat(F.lit("t"), F.floor(F.col("event_id") / 4).cast("long")).alias(
+            "txn_id"
+        ),
+        F.lit(4).cast("long").alias("txn_event_count"),
+    )
+    ready, _ = gate_transactions(df)
+    return ready.select("event_id", "txn_id")
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -1092,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_roundtrip": q_explode_roundtrip,
         "pivot_event_counts": q_pivot_event_counts,
         "count_distinct": q_count_distinct,
+        "envelope_roundtrip": q_envelope_roundtrip,
+        "envelope_dlq": q_envelope_dlq,
+        "txn_gate": q_txn_gate,
     }
 
 
@@ -1694,6 +1791,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS distinct_users,
                    count(*) AS events
             FROM events GROUP BY event_type
+        """,
+        "envelope_roundtrip": """
+            -- expected clean survivors of the synthesized wire stream:
+            -- corrupt (983), lsn-less (991) and bad-op (997) rows are
+            -- quarantined; op mapping mirrors _envelope_wire exactly
+            SELECT cast(user_id AS varchar) AS conv_id,
+                   cast(json_extract(props, '$.k') AS int) AS turn_idx,
+                   event_type AS role,
+                   props AS text,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        WHEN event_id % 7 = 3 THEN 'update'
+                        ELSE 'insert' END AS op,
+                   event_id AS lsn
+            FROM events
+            WHERE event_id % 983 != 5
+              AND event_id % 991 != 2
+              AND event_id % 997 != 1
+        """,
+        "envelope_dlq": """
+            -- parse_envelopes reason precedence:
+            -- malformed_json > missing_lsn > bad_op
+            SELECT reason, count(*) AS n FROM (
+              SELECT CASE WHEN event_id % 983 = 5 THEN 'malformed_json'
+                          WHEN event_id % 991 = 2 THEN 'missing_lsn'
+                          WHEN event_id % 997 = 1 THEN 'bad_op' END AS reason
+              FROM events) t
+            WHERE reason IS NOT NULL GROUP BY reason
+        """,
+        "txn_gate": """
+            -- a 4-event transaction passes only when all 4 events
+            -- arrived (every 13th event is withheld upstream)
+            SELECT event_id, txn_id FROM (
+              SELECT event_id, txn_id,
+                     count(*) OVER (PARTITION BY txn_id) AS n
+              FROM (SELECT event_id,
+                           't' || cast(event_id // 4 AS varchar) AS txn_id
+                    FROM events WHERE event_id % 13 != 0) t1) t2
+            WHERE n >= 4
         """,
         "detect_lang": _detect_lang_sql(),
         "explode_roundtrip": """

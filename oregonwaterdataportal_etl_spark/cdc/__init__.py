@@ -6,6 +6,14 @@ from .runner import CdcRunner
 from .source import BucketedWalSource, LsnRangedParquetSource
 from .follower import ChangelogFollower, changelog_to_events, replicate_available
 from .watermarks import WatermarkStore
+from .envelope import (
+    envelope_schema,
+    gate_transactions,
+    ingest_envelopes,
+    parse_envelopes,
+    split_dlq,
+    wrap_envelopes,
+)
 
 __all__ = [
     "WatermarkStore",
@@ -23,4 +31,10 @@ __all__ = [
     "ChangelogFollower",
     "changelog_to_events",
     "replicate_available",
+    "envelope_schema",
+    "parse_envelopes",
+    "split_dlq",
+    "gate_transactions",
+    "ingest_envelopes",
+    "wrap_envelopes",
 ]
