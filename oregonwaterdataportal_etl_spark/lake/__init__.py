@@ -1,6 +1,18 @@
 from .bucketed import register_bucketed_table, write_bucketed_wal
 from .incremental import AggSpec, IncrementalAggView
 from .table import LakeTable, MergeResult
+from .wap import (
+    Audit,
+    ExprHolds,
+    NotNull,
+    RowBounds,
+    UniqueKeys,
+    WapAuditError,
+    WapConflictError,
+    WapStage,
+    begin_wap,
+    run_audits,
+)
 
 __all__ = [
     "AggSpec",
@@ -9,4 +21,14 @@ __all__ = [
     "MergeResult",
     "register_bucketed_table",
     "write_bucketed_wal",
+    "Audit",
+    "NotNull",
+    "UniqueKeys",
+    "RowBounds",
+    "ExprHolds",
+    "run_audits",
+    "WapStage",
+    "WapAuditError",
+    "WapConflictError",
+    "begin_wap",
 ]

@@ -1578,6 +1578,14 @@ class LakeTable:
                 ]
         return files
 
+    def begin_wap(self, wap_id: str) -> "LakeTable":
+        """Open (or re-attach to) a write-audit-publish stage: a
+        LakeTable whose commits land on a private staged chain,
+        invisible to readers until ``publish()`` (see lake/wap.py)."""
+        from .wap import WapStage
+
+        return WapStage(self.path, wap_id)
+
     def overwrite(self, df: DataFrame, lsn: int = 0) -> int:
         """Full-refresh load (reference entry point C: the xlsx batch
         load, userCode/xlsx/main.py:19-28 — no watermark, replace all)."""
@@ -2950,6 +2958,16 @@ class LakeTable:
         live: set[str] = set()
         for snap in keep:
             live.update(self._snap_files(snap))
+        # files referenced by an open write-audit-publish stage are live
+        # until the stage is explicitly published or aborted — a crashed
+        # stage must survive vacuum so the session can re-attach to it
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("wap-") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(self.meta_dir, name)) as f:
+                        live.update(self._snap_files(json.load(f)))
+                except (OSError, ValueError):
+                    continue
         dead: set[str] = set()
         for snap in expired:
             dead.update(self._snap_files(snap))

@@ -1,0 +1,345 @@
+"""Write-audit-publish (WAP) staging for LakeTable.
+
+The Iceberg WAP pattern: a writer stages one or more commits that are
+durable and fully readable by the staging session but INVISIBLE to
+every normal reader, runs audits against the staged state, and then
+publishes the whole batch atomically as one main-line snapshot (or
+aborts, leaving main untouched). The reference gates every sink write
+behind validation before the POST (pydantic models + batch helpers,
+userCode/helper_classes.py:94-129, userCode/awqms/dag.py:155-187);
+WAP is that discipline recast for snapshot commits — validate the
+*table state the write produces*, not just the rows going in.
+
+Mechanics on the LakeTable substrate:
+
+* :class:`WapStage` is a LakeTable whose commits are rerouted to
+  ``wap-<id>-NNNN.json`` manifests via the same ``versioned_commit``
+  publish (fsync + fail-if-exists link, never a pointer). Staged
+  manifests sit outside the ``snap-`` namespace, so both commit modes
+  ignore them: pointer-mode readers follow CURRENT, rename-free
+  readers derive CURRENT from ``snap-`` names only. Every LakeTable
+  operation — merge (cow/mor), merge_prebucketed, compact, read,
+  read_changes — works unchanged inside a stage because only
+  manifest naming differs.
+* Data files are written into the table's own data dir, so PUBLISH
+  IS METADATA-ONLY: the staged tip manifest (self-contained file
+  lists) is renumbered onto the main chain through the normal
+  optimistic commit. No data moves, no second write.
+* Publish is conflict-checked: it requires main still at the
+  stage's recorded base version. A concurrent main commit means the
+  staged file-map no longer describes "base + this work" — the stage
+  must be aborted and replayed (we refuse to guess a rebase; change
+  batches are replayable by construction, CdcRunner replays are
+  idempotent).
+* Audits run as ONE aggregation job over the staged resolved view
+  regardless of how many audits are attached (each audit contributes
+  expressions to a shared ``agg``), so auditing a 100 TB staged
+  state costs one scan, not one scan per check.
+* Abort deletes staged manifests and (optionally, eagerly) the data
+  files only the stage references. ``LakeTable.vacuum`` treats files
+  referenced by live wap manifests as live, so a crashed stage is
+  never swept before it is explicitly aborted or published.
+
+At 100 TB: staging adds zero overhead to the write path (same jobs,
+different manifest name), audits are one scan, publish and abort are
+O(metadata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import (
+    CommitConflictError,
+    LakeTable,
+    latest_manifest_version,
+    versioned_commit,
+)
+
+
+class WapConflictError(RuntimeError):
+    """Main advanced past the stage's base version — abort and restage."""
+
+
+class WapAuditError(RuntimeError):
+    """One or more audits failed; the stage is left intact for
+    inspection. ``report`` maps audit name -> detail string."""
+
+    def __init__(self, report: dict[str, str]):
+        super().__init__(f"WAP audits failed: {report}")
+        self.report = report
+
+
+# ----------------------------------------------------------- audits
+class Audit:
+    """One declarative check over the staged resolved view.
+
+    ``named_exprs()`` returns (alias, aggregation column) pairs —
+    aliases are content-derived so identical measurements collapse and
+    distinct ones never collide; ``verdict(row)`` inspects the single
+    collected aggregate row and returns (ok, detail). All attached
+    audits share ONE agg job."""
+
+    name: str = "audit"
+
+    def named_exprs(self) -> list:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def verdict(self, row) -> tuple[bool, str]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class NotNull(Audit):
+    """Named columns must contain no nulls in the staged state."""
+
+    def __init__(self, *cols: str):
+        self.cols = list(cols)
+        self.name = f"not_null({','.join(cols)})"
+
+    def named_exprs(self):
+        return [
+            (f"__wap_nn_{c}", F.count(F.when(F.col(c).isNull(), 1)))
+            for c in self.cols
+        ]
+
+    def verdict(self, row):
+        bad = {c: row[f"__wap_nn_{c}"] for c in self.cols if row[f"__wap_nn_{c}"]}
+        return (not bad, f"null rows per column: {bad}" if bad else "ok")
+
+
+class UniqueKeys(Audit):
+    """The staged state must hold one row per key (the table invariant
+    a buggy custom write path would break first)."""
+
+    def __init__(self, key_cols: list[str]):
+        self.key_cols = list(key_cols)
+        self.name = f"unique_keys({','.join(key_cols)})"
+        self._d = "__wap_uk_d_" + "_".join(self.key_cols)
+
+    def named_exprs(self):
+        return [
+            ("__wap_count", F.count(F.lit(1))),
+            (self._d, F.countDistinct(*[F.col(c) for c in self.key_cols])),
+        ]
+
+    def verdict(self, row):
+        n, d = row["__wap_count"], row[self._d]
+        return (n == d, "ok" if n == d else f"{n} rows but {d} distinct keys")
+
+
+class RowBounds(Audit):
+    """Staged row count within [min_rows, max_rows] — the coarse
+    fat-finger guard (e.g. an empty upstream must not publish an
+    empty table over a full one)."""
+
+    def __init__(self, min_rows: int = 0, max_rows: int | None = None):
+        self.min_rows, self.max_rows = min_rows, max_rows
+        self.name = f"row_bounds({min_rows},{max_rows})"
+
+    def named_exprs(self):
+        return [("__wap_count", F.count(F.lit(1)))]
+
+    def verdict(self, row):
+        n = row["__wap_count"]
+        if n < self.min_rows:
+            return False, f"{n} rows < min {self.min_rows}"
+        if self.max_rows is not None and n > self.max_rows:
+            return False, f"{n} rows > max {self.max_rows}"
+        return True, "ok"
+
+
+class ExprHolds(Audit):
+    """A boolean expression every staged row must satisfy
+    (e.g. ``F.col('turn_idx') >= 0``)."""
+
+    def __init__(self, name: str, cond):
+        self.name = f"holds({name})"
+        self._alias = f"__wap_eh_{abs(hash(name)) % 10**8}"
+        self.cond = cond
+
+    def named_exprs(self):
+        return [(self._alias, F.count(F.when(~self.cond, 1)))]
+
+    def verdict(self, row):
+        bad = row[self._alias]
+        return (bad == 0, "ok" if bad == 0 else f"{bad} violating rows")
+
+
+def run_audits(df: DataFrame, audits: list[Audit]) -> dict[str, str]:
+    """Run all audits in ONE aggregation job; return {name: detail}
+    for failures only (empty dict = all green)."""
+    if not audits:
+        return {}
+    exprs: dict[str, object] = {}
+    for a in audits:
+        for alias, e in a.named_exprs():
+            exprs.setdefault(alias, e.alias(alias))
+    row = df.agg(*exprs.values()).collect()[0]
+    report = {}
+    for a in audits:
+        ok, detail = a.verdict(row)
+        if not ok:
+            report[a.name] = detail
+    return report
+
+
+# ------------------------------------------------------------ stage
+class WapStage(LakeTable):
+    """A LakeTable view whose commits land on a private staged chain.
+
+    Create with :func:`begin_wap` (or re-attach to an existing stage
+    by constructing with the same ``wap_id`` after a crash — staged
+    manifests are durable)."""
+
+    def __init__(self, path: str, wap_id: str):
+        if not wap_id or any(ch in wap_id for ch in "/\\ \t\n"):
+            raise ValueError(f"invalid wap_id {wap_id!r}")
+        super().__init__(path)
+        self.wap_id = wap_id
+        self._prefix = f"wap-{wap_id}-"
+        tip = latest_manifest_version(self.meta_dir, self._prefix)
+        if tip is not None:
+            self._base_version = self.snapshot(tip)["wap"]["base_version"]
+        else:
+            self._base_version = LakeTable.current_version(self)
+
+    # -- staged metadata ------------------------------------------
+    def _staged_tip(self) -> int | None:
+        return latest_manifest_version(self.meta_dir, self._prefix)
+
+    def staged_versions(self) -> list[int]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith(self._prefix) and name.endswith(".json"):
+                mid = name[len(self._prefix):-5]
+                if mid.isdigit():
+                    out.append(int(mid))
+        return out
+
+    def current_version(self) -> int:
+        tip = self._staged_tip()
+        return tip if tip is not None else LakeTable.current_version(self)
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        staged = os.path.join(self.meta_dir, f"{self._prefix}{v:08d}.json")
+        if os.path.exists(staged):
+            with open(staged) as f:
+                return json.load(f)
+        return LakeTable.snapshot(self, v)
+
+    def _commit(self, snap: dict) -> None:
+        """Publish onto the staged chain: same complete-before-named
+        manifest discipline, never a pointer, never a snap- name. Two
+        sessions staging under the same wap_id arbitrate on the link
+        exactly like two main-line committers."""
+        snap = dict(snap)
+        snap["wap"] = {"id": self.wap_id, "base_version": self._base_version}
+        versioned_commit(
+            self.meta_dir,
+            f"{self._prefix}{snap['version']:08d}.json",
+            snap["version"],
+            snap,
+            pointer_name=None,
+        )
+
+    # -- lifecycle -------------------------------------------------
+    def publish(
+        self,
+        spark: SparkSession | None = None,
+        audits: list[Audit] | None = None,
+    ) -> int:
+        """Audit the staged state, then fast-forward main onto it.
+
+        Returns the published main-line version. Raises
+        :class:`WapAuditError` (stage kept) on audit failure,
+        :class:`WapConflictError` (stage kept) if main moved past the
+        base version, ``ValueError`` if nothing was staged."""
+        tip = self._staged_tip()
+        if tip is None:
+            raise ValueError(f"wap stage {self.wap_id!r}: nothing staged")
+        if audits:
+            if spark is None:
+                raise ValueError("publish(audits=...) needs a SparkSession")
+            report = run_audits(self.read(spark), audits)
+            if report:
+                raise WapAuditError(report)
+        main = LakeTable(self.path)
+        current = main.current_version()
+        if current != self._base_version:
+            raise WapConflictError(
+                f"main moved {self._base_version} -> {current} while wap "
+                f"stage {self.wap_id!r} was open; abort and restage"
+            )
+        snap = dict(self.snapshot(tip))
+        staged_commits = len(self.staged_versions())
+        snap["version"] = current + 1
+        snap["parent"] = current
+        snap.pop("wap", None)
+        summary = dict(snap.get("summary") or {})
+        snap["summary"] = {
+            **summary,
+            "operation": "wap-publish",
+            "wap_id": self.wap_id,
+            "staged_commits": staged_commits,
+            "staged_operation": summary.get("operation"),
+        }
+        try:
+            main._commit(snap)
+        except CommitConflictError as e:
+            raise WapConflictError(
+                f"main committed concurrently while publishing wap stage "
+                f"{self.wap_id!r}; abort and restage"
+            ) from e
+        self._drop_staged_manifests()
+        return snap["version"]
+
+    def abort(self, drop_data: bool = True) -> int:
+        """Discard the stage. With ``drop_data`` (default) the data
+        files ONLY this stage references are deleted eagerly; files
+        shared with any main snapshot or any other live stage are
+        kept. Either way ``vacuum`` would eventually collect them.
+        Returns the number of data files removed."""
+        staged_files: set[str] = set()
+        for v in self.staged_versions():
+            staged_files.update(self._snap_files(self.snapshot(v)))
+        removed = 0
+        if drop_data and staged_files:
+            keep: set[str] = set()
+            for name in os.listdir(self.meta_dir):
+                if name.startswith("snap-") and name.endswith(".json"):
+                    with open(os.path.join(self.meta_dir, name)) as f:
+                        keep.update(self._snap_files(json.load(f)))
+                elif (
+                    name.startswith("wap-")
+                    and name.endswith(".json")
+                    and not name.startswith(self._prefix)
+                ):
+                    with open(os.path.join(self.meta_dir, name)) as f:
+                        keep.update(self._snap_files(json.load(f)))
+            for p in staged_files - keep:
+                try:
+                    os.remove(p)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        self._drop_staged_manifests()
+        return removed
+
+    def _drop_staged_manifests(self) -> None:
+        for v in self.staged_versions():
+            try:
+                os.remove(
+                    os.path.join(self.meta_dir, f"{self._prefix}{v:08d}.json")
+                )
+            except FileNotFoundError:
+                pass
+
+
+def begin_wap(table: LakeTable, wap_id: str) -> WapStage:
+    """Open (or re-attach to) a write-audit-publish stage on a table."""
+    return WapStage(table.path, wap_id)
