@@ -159,6 +159,130 @@ def start_cdc_stream_zx(
     return writer.start()
 
 
+def start_envelope_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    manifests: ManifestLog,
+    payload_schema,
+    dlq_dir: str,
+    pending_dir: str,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    json_options: dict | None = None,
+    max_files_per_trigger: int | None = None,
+    mode: str = "cow",
+):
+    """Tail a directory of raw change ENVELOPES (parquet files with a
+    ``value`` string column — the shape a Kafka value column or a
+    binlog-connector file dump lands in) through the full front-end:
+    parse -> dead-letter quarantine -> transaction gate -> LWW merge.
+
+    Crash/replay discipline (Spark's file-source checkpoint replays a
+    micro-batch with the SAME input files, so every derived frame is
+    deterministic per batch id):
+
+    * DLQ rows land in ``dlq_dir/batch-<id>`` with overwrite — a
+      replayed batch rewrites its own quarantine instead of
+      duplicating it. Read the whole quarantine with
+      :func:`read_dlq`.
+    * The pending-transaction tail is a VERSIONED store:
+      ``pending_dir/state-<id>`` holds the tail after batch ``id``,
+      computed from the previous state + this batch's clean rows.
+      Overwrite-idempotent on replay; states older than the previous
+      one are swept after commit. A transaction split across
+      micro-batches is held until its last event arrives, then
+      released whole into the merge.
+    * The merge itself is manifest-gated exactly like the other
+      streams: side stores are (re)written FIRST (idempotent
+      overwrites), then the manifest no-op check decides whether the
+      merge runs — a crash anywhere replays into the same state.
+
+    At 100 TB: parse/quarantine are shuffle-free; the gate is one
+    window shuffle on txn_id (bounded groups); the merge is the
+    engine's normal one-exchange apply. The DLQ and pending stores
+    write O(bad + in-flight) rows, not O(batch).
+    """
+    import shutil
+
+    from ..cdc.envelope import gate_transactions, parse_envelopes, split_dlq
+    from ..cdc.manifests import batch_id_for_window
+
+    src_reader = spark.readStream.schema("value string")
+    if max_files_per_trigger is not None:
+        src_reader = src_reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    src = src_reader.parquet(stream_dir)
+
+    def _latest_state(before_id: int) -> str | None:
+        try:
+            entries = os.listdir(pending_dir)
+        except FileNotFoundError:
+            return None
+        best = None
+        for e in entries:
+            if e.startswith("state-"):
+                mid = e[len("state-"):]
+                if mid.isdigit() and int(mid) < before_id:
+                    best = max(best, int(mid)) if best is not None else int(mid)
+        return None if best is None else os.path.join(pending_dir, f"state-{best}")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        parsed = parse_envelopes(batch_df, payload_schema, json_options=json_options)
+        clean, dlq = split_dlq(parsed)
+        prev = _latest_state(batch_id)
+        pending = sess.read.parquet(prev) if prev else None
+        ready, still = gate_transactions(clean, pending)
+        ready = ready.drop("txn_id", "txn_total_order", "txn_event_count")
+        # side stores first, overwrite-idempotent under replay
+        dlq.write.mode("overwrite").parquet(
+            os.path.join(dlq_dir, f"batch-{batch_id}")
+        )
+        state_dir = os.path.join(pending_dir, f"state-{batch_id}")
+        still.write.mode("overwrite").parquet(state_dir)
+        # manifest-gated merge last
+        if not ready.isEmpty():
+            bounds = ready.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            ).collect()[0]
+            bid = batch_id_for_window("stream-env", bounds["lo"], bounds["hi"])
+            if not manifests.is_committed(bid):
+                manifests.begin(bid, bounds["lo"], bounds["hi"])
+                result = table.merge(ready, mode=mode)
+                manifests.commit(bid, result.as_dict())
+        # sweep states older than the predecessor (kept for replay)
+        try:
+            for e in os.listdir(pending_dir):
+                if e.startswith("state-"):
+                    mid = e[len("state-"):]
+                    if mid.isdigit() and int(mid) < batch_id - 1:
+                        shutil.rmtree(
+                            os.path.join(pending_dir, e), ignore_errors=True
+                        )
+        except FileNotFoundError:
+            pass
+
+    writer = src.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_dlq(spark: SparkSession, dlq_dir: str) -> DataFrame:
+    """The accumulated dead-letter quarantine (raw value + reason)
+    across all processed micro-batches."""
+    return spark.read.option("basePath", dlq_dir).parquet(
+        os.path.join(dlq_dir, "batch-*")
+    )
+
+
 def windowed_event_counts(
     changes: DataFrame,
     window: str = "1 hour",

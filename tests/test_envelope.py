@@ -4,6 +4,8 @@ Wire-format fidelity (wrap -> parse roundtrip at microsecond ts
 precision), DLQ reason precedence, transaction-boundary gating with
 cross-window pending carry, and the no-per-row-Python plan pin."""
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -149,3 +151,151 @@ def test_no_python_in_parse_plan(spark):
     for df in (ready, dlq, still):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------- streaming
+def _wire_files(spark, tmp_path, n=2400, convs=40):
+    """Two wire parquet files: 2-row transactions split so some txns
+    straddle the file boundary, plus deterministic corruption."""
+    changes = generate_changes(spark, n, convs, seed=21)
+    tagged = changes.withColumn(
+        "txn_id",
+        F.when(
+            F.col("lsn") % 3 == 0,
+            F.concat(F.lit("t"), (F.col("lsn") / 6).cast("long")),
+        ),
+    ).withColumn(
+        "txn_event_count",
+        F.when(F.col("txn_id").isNotNull(), F.lit(2)).cast("long"),
+    )
+    raw = wrap_envelopes(
+        tagged, txn_id_col="txn_id", txn_event_count_col="txn_event_count"
+    ).withColumn(
+        "value",
+        F.when(
+            F.pmod(F.xxhash64("value"), F.lit(29)) == 0,
+            F.substring("value", 1, 8),
+        ).otherwise(F.col("value")),
+    )
+    wire_dir = str(tmp_path / "wire")
+    # split by re-parsing the lsn back out of the value is overkill;
+    # wrap order isn't stable, so just split the frame in half
+    half = raw.limit(n // 2)
+    rest = raw.subtract(half)
+    half.coalesce(1).write.parquet(os.path.join(wire_dir, "f1"))
+    rest.coalesce(1).write.parquet(os.path.join(wire_dir, "f2"))
+    return wire_dir, raw
+
+
+def _expected_state(spark, raw_union):
+    ready, dlq, still = ingest_envelopes(raw_union, TRANSCRIPT_SCHEMA)
+    folded = lww_dedup(ready).filter(F.col("op") != "delete").drop("op", "lsn")
+    return folded, dlq, still
+
+
+def test_envelope_stream_end_to_end(spark, tmp_path):
+    """availableNow tail through parse -> DLQ -> gate -> merge; final
+    table state equals the whole-wire batch path, the quarantine is
+    persisted per batch, and the pending store survives for replay."""
+    from oregonwaterdataportal_etl_spark.cdc import ManifestLog
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from oregonwaterdataportal_etl_spark.streaming import (
+        read_dlq,
+        start_envelope_stream,
+    )
+
+    wire_dir, raw = _wire_files(spark, tmp_path)
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    q = start_envelope_stream(
+        spark,
+        os.path.join(wire_dir, "*"),
+        table,
+        str(tmp_path / "ckpt"),
+        ManifestLog(str(tmp_path / "mf")),
+        TRANSCRIPT_SCHEMA,
+        dlq_dir=str(tmp_path / "dlq"),
+        pending_dir=str(tmp_path / "pend"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    expect, dlq_expect, still_expect = _expected_state(
+        spark, spark.read.parquet(os.path.join(wire_dir, "*"))
+    )
+    got = table.read(spark)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # quarantine: same rows as the batch path, across per-batch dirs
+    dlq_stream = read_dlq(spark, str(tmp_path / "dlq"))
+    assert sorted(
+        (r["value"], r["_dlq_reason"]) for r in dlq_stream.collect()
+    ) == sorted((r["value"], r["_dlq_reason"]) for r in dlq_expect.collect())
+    # pending store: latest state holds exactly the still-open tail
+    states = sorted(os.listdir(tmp_path / "pend"))
+    assert states, "pending store must persist"
+    latest = spark.read.parquet(str(tmp_path / "pend" / states[-1]))
+    assert latest.count() == still_expect.count()
+
+
+def test_envelope_stream_restart_releases_split_txn(spark, tmp_path):
+    """A transaction whose events arrive in a LATER stream run is held
+    by the pending store across the restart and released whole."""
+    from oregonwaterdataportal_etl_spark.cdc import ManifestLog
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from oregonwaterdataportal_etl_spark.streaming import start_envelope_stream
+
+    import pyspark.sql.types as T2
+    payload = T2.StructType([
+        T2.StructField("conv_id", T2.StringType()),
+        T2.StructField("turn_idx", T2.IntegerType()),
+        T2.StructField("text", T2.StringType()),
+    ])
+    wire_dir = tmp_path / "wire2"
+
+    def env(op, conv, turn, text, lsn, txn=None, total=None):
+        import json as _json
+        e = {"op": op, "after": {"conv_id": conv, "turn_idx": turn, "text": text},
+             "source": {"lsn": lsn}}
+        if txn:
+            e["transaction"] = {"id": txn, "event_count": total}
+        return _json.dumps(e)
+
+    f1 = [
+        (env("c", "a", 0, "solo", 1),),
+        (env("c", "b", 0, "txA-1of2", 2, "A", 2),),  # half of txn A
+    ]
+    f2 = [
+        (env("c", "b", 1, "txA-2of2", 3, "A", 2),),  # completes txn A
+    ]
+    spark.createDataFrame(f1, "value string").coalesce(1).write.parquet(
+        str(wire_dir / "f1")
+    )
+    table = LakeTable.create(
+        str(tmp_path / "t2"), payload, key_cols=["conv_id", "turn_idx"],
+        num_buckets=2,
+    )
+    mf = ManifestLog(str(tmp_path / "mf2"))
+    args = dict(
+        dlq_dir=str(tmp_path / "dlq2"), pending_dir=str(tmp_path / "pend2")
+    )
+    q = start_envelope_stream(
+        spark, str(wire_dir / "*"), table, str(tmp_path / "ckpt2"), mf,
+        payload, **args,
+    )
+    q.awaitTermination(120)
+    keys1 = {(r["conv_id"], r["turn_idx"]) for r in table.read(spark).collect()}
+    assert keys1 == {("a", 0)}  # txn A held
+
+    spark.createDataFrame(f2, "value string").coalesce(1).write.parquet(
+        str(wire_dir / "f2")
+    )
+    q2 = start_envelope_stream(
+        spark, str(wire_dir / "*"), table, str(tmp_path / "ckpt2"), mf,
+        payload, **args,
+    )
+    q2.awaitTermination(120)
+    keys2 = {(r["conv_id"], r["turn_idx"]) for r in table.read(spark).collect()}
+    assert keys2 == {("a", 0), ("b", 0), ("b", 1)}  # released whole
