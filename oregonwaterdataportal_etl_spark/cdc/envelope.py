@@ -102,6 +102,7 @@ def parse_envelopes(
     payload_schema: T.StructType,
     value_col: str = "value",
     json_options: dict | None = None,
+    op_aliases: dict[str, str] | None = None,
 ) -> DataFrame:
     """Decode envelope JSON into flat change rows, tagging bad input.
 
@@ -118,25 +119,51 @@ def parse_envelopes(
 
     Reason precedence is exactly that order; a row gets the FIRST
     failing check (deterministic, mirrored by oracle SQL).
+
+    ``op_aliases`` maps additional accepted wire spellings to engine
+    ops (e.g. ``{"insert": "insert"}`` for producers that emit engine
+    spellings instead of c/u/d) — the tolerance knob a DLQ replay uses
+    after an upstream contract fix. Aliased ops are image-lenient
+    (either row image accepted), canonical c/u/d/r stay strict.
     """
+    aliases = dict(op_aliases or {})
+    bad = [v for v in aliases.values() if v not in ("insert", "update", "delete")]
+    if bad:
+        raise ValueError(f"op_aliases values must be engine ops, got {bad}")
     opts = dict(JSON_OPTS)
     opts.update(json_options or {})
     opts.setdefault("mode", "PERMISSIVE")
     opts.setdefault("columnNameOfCorruptRecord", CORRUPT_COL)
     env = F.from_json(F.col(value_col), envelope_schema(payload_schema), opts)
+    aliased = F.lit(False)
+    if aliases:
+        aliased = env["op"].isin(*aliases.keys())
     # row image: deletes describe the row that vanished (before);
-    # creates/updates/snapshot-reads describe the row that exists (after)
-    image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    # creates/updates/snapshot-reads describe the row that exists
+    # (after); aliased ops take whichever image the producer sent
+    op = F.when(env["op"] == "d", F.lit("delete")).when(
+        env["op"] == "u", F.lit("update")
+    )
+    for wire, engine in aliases.items():
+        op = op.when(env["op"] == wire, F.lit(engine))
+    op = op.otherwise(F.lit("insert"))
+    image = (
+        F.when(env["op"] == "d", env["before"])
+        .when(
+            aliased,
+            F.when(op == "delete", F.coalesce(env["before"], env["after"]))
+            .otherwise(F.coalesce(env["after"], env["before"])),
+        )
+        .otherwise(env["after"])
+    )
     reason = (
         F.when(env.isNull() | env[CORRUPT_COL].isNotNull(), F.lit("malformed_json"))
         .when(env["source"]["lsn"].isNull(), F.lit("missing_lsn"))
-        .when(~env["op"].isin(*_WIRE_OPS), F.lit("bad_op"))
+        .when(
+            ~env["op"].isin(*_WIRE_OPS) & ~aliased,
+            F.lit("bad_op"),
+        )
         .when(image.isNull(), F.lit("missing_image"))
-    )
-    op = (
-        F.when(env["op"] == "d", F.lit("delete"))
-        .when(env["op"] == "u", F.lit("update"))
-        .otherwise(F.lit("insert"))
     )
     cols = [F.col(c) for c in raw.columns if c != value_col]
     cols += [image[f.name].alias(f.name) for f in payload_schema.fields]

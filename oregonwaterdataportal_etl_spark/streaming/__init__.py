@@ -1,6 +1,7 @@
 from .stateful import conversation_progress
 from .stream import (
     read_dlq,
+    replay_dlq,
     start_cdc_stream,
     start_cdc_stream_zx,
     start_envelope_stream,
@@ -13,5 +14,6 @@ __all__ = [
     "start_cdc_stream_zx",
     "start_envelope_stream",
     "read_dlq",
+    "replay_dlq",
     "windowed_event_counts",
 ]

@@ -283,6 +283,128 @@ def read_dlq(spark: SparkSession, dlq_dir: str) -> DataFrame:
     )
 
 
+def replay_dlq(
+    spark: SparkSession,
+    table: LakeTable,
+    dlq_dir: str,
+    payload_schema,
+    pending_dir: str | None = None,
+    manifests: ManifestLog | None = None,
+    json_options: dict | None = None,
+    op_aliases: dict[str, str] | None = None,
+    mode: str = "cow",
+) -> dict:
+    """Re-ingest the quarantine after a contract fix.
+
+    Runs the stored raw values back through the CURRENT parser (often
+    with ``op_aliases`` or new ``json_options`` that encode the fix):
+    rows that now parse clean flow through the transaction gate into a
+    manifest-gated merge; rows that are still dead REPLACE the
+    quarantine (one consolidated ``batch-replay-*`` dir swaps in for
+    all prior dirs), so replaying twice is a no-op.
+
+    Pending-tail interaction: when ``pending_dir`` holds stream state,
+    the gate runs against the carried tail and the LATEST state is
+    amended in place (the stream's next micro-batch reads it by id,
+    so a new id would be invisible to it). Without stream state,
+    recovered rows of still-incomplete transactions go BACK to the
+    quarantine as ``txn_incomplete`` rather than being silently
+    dropped. Run from the maintenance process while the envelope
+    stream is stopped — this reads and rewrites the stream's side
+    stores.
+
+    Returns ``{"quarantined", "recovered", "still_dead", "held"}``
+    row counts (``still_dead`` includes ``txn_incomplete`` rows).
+    """
+    import shutil
+    import uuid
+
+    from ..cdc.envelope import gate_transactions, parse_envelopes
+    from ..cdc.manifests import batch_id_for_window
+
+    try:
+        old_dirs = [
+            e for e in os.listdir(dlq_dir) if e.startswith("batch-")
+        ]
+    except FileNotFoundError:
+        old_dirs = []
+    if not old_dirs:
+        return {"quarantined": 0, "recovered": 0, "still_dead": 0, "held": 0}
+    raw = read_dlq(spark, dlq_dir).select("value")
+    n0 = raw.count()
+    parsed = parse_envelopes(
+        raw, payload_schema, json_options=json_options, op_aliases=op_aliases
+    )
+    clean = parsed.filter(F.col("_dlq_reason").isNull())  # keeps value col
+    dead = parsed.filter(F.col("_dlq_reason").isNotNull()).select(
+        "value", "_dlq_reason"
+    )
+    state_ids: list[int] = []
+    if pending_dir:
+        try:
+            state_ids = sorted(
+                int(e[len("state-"):])
+                for e in os.listdir(pending_dir)
+                if e.startswith("state-") and e[len("state-"):].isdigit()
+            )
+        except FileNotFoundError:
+            state_ids = []
+    pending = (
+        spark.read.parquet(os.path.join(pending_dir, f"state-{state_ids[-1]}"))
+        if state_ids
+        else None
+    )
+    ready, still = gate_transactions(clean, pending)
+    ready = ready.drop(
+        "txn_id", "txn_total_order", "txn_event_count", "value", "_dlq_reason"
+    )
+    recovered = 0
+    if not ready.isEmpty():
+        bounds = ready.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        recovered = ready.count()
+        bid = batch_id_for_window("dlq-replay", bounds["lo"], bounds["hi"])
+        if manifests is None:
+            table.merge(ready, mode=mode)
+        elif not manifests.is_committed(bid):
+            manifests.begin(bid, bounds["lo"], bounds["hi"])
+            result = table.merge(ready, mode=mode)
+            manifests.commit(bid, result.as_dict())
+    held = 0
+    if state_ids:
+        # amend the latest state IN PLACE: the pending rows from the
+        # stream lack value/_dlq_reason, so strip them for a stable
+        # state schema. tmp-write + swap; stream must be stopped.
+        new_still = still.drop("value", "_dlq_reason")
+        last_dir = os.path.join(pending_dir, f"state-{state_ids[-1]}")
+        tmp_dir = last_dir + f".replay-{uuid.uuid4().hex}"
+        new_still.write.mode("overwrite").parquet(tmp_dir)
+        held = spark.read.parquet(tmp_dir).count()
+        shutil.rmtree(last_dir, ignore_errors=True)
+        os.rename(tmp_dir, last_dir)
+    else:
+        # no stream state to hold them in: incomplete-txn rows return
+        # to the quarantine, visibly, instead of vanishing
+        dead = dead.unionByName(
+            still.select("value", F.lit("txn_incomplete").alias("_dlq_reason"))
+        )
+    # consolidate the quarantine BEFORE deleting sources (the write is
+    # an action; after it the old dirs are no longer inputs)
+    new_dir = os.path.join(dlq_dir, f"batch-replay-{uuid.uuid4().hex}")
+    dead.write.mode("overwrite").parquet(new_dir)
+    still_dead = spark.read.parquet(new_dir).count()
+    for e in old_dirs:
+        if os.path.join(dlq_dir, e) != new_dir:
+            shutil.rmtree(os.path.join(dlq_dir, e), ignore_errors=True)
+    return {
+        "quarantined": n0,
+        "recovered": recovered,
+        "still_dead": still_dead,
+        "held": held,
+    }
+
+
 def windowed_event_counts(
     changes: DataFrame,
     window: str = "1 hour",

@@ -7,6 +7,7 @@ cross-window pending carry, and the no-per-row-Python plan pin."""
 import os
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from oregonwaterdataportal_etl_spark.cdc import (
@@ -299,3 +300,92 @@ def test_envelope_stream_restart_releases_split_txn(spark, tmp_path):
     q2.awaitTermination(120)
     keys2 = {(r["conv_id"], r["turn_idx"]) for r in table.read(spark).collect()}
     assert keys2 == {("a", 0), ("b", 0), ("b", 1)}  # released whole
+
+
+def test_parse_op_aliases(spark):
+    """Engine-spelling wire ops are bad_op by default, accepted with
+    op_aliases; aliased deletes are image-lenient."""
+    rows = [
+        ('{"op":"insert","after":{"conv_id":"a","turn_idx":0,"role":"u","text":"x"},"source":{"lsn":1}}',),
+        ('{"op":"delete","after":{"conv_id":"a","turn_idx":0,"role":"u","text":"x"},"source":{"lsn":2}}',),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    strict = parse_envelopes(raw, TRANSCRIPT_SCHEMA)
+    assert {r["_dlq_reason"] for r in strict.collect()} == {"bad_op"}
+    lax = parse_envelopes(
+        raw, TRANSCRIPT_SCHEMA,
+        op_aliases={"insert": "insert", "delete": "delete"},
+    )
+    got = {(r["lsn"], r["op"]): r["_dlq_reason"] for r in lax.collect()}
+    assert got == {(1, "insert"): None, (2, "delete"): None}
+    with pytest.raises(ValueError):
+        parse_envelopes(raw, TRANSCRIPT_SCHEMA, op_aliases={"x": "upsert"})
+
+
+def test_replay_dlq_recovers_after_contract_fix(spark, tmp_path):
+    """Stream quarantines engine-spelling ops as bad_op; replay with
+    op_aliases merges them, malformed rows stay dead, and a second
+    replay is a no-op."""
+    from oregonwaterdataportal_etl_spark.cdc import ManifestLog
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from oregonwaterdataportal_etl_spark.streaming import (
+        read_dlq,
+        replay_dlq,
+        start_envelope_stream,
+    )
+
+    changes = generate_changes(spark, 1200, 30, seed=31)
+    wire = wrap_envelopes(changes)
+    # every 5th wire row switches to the engine spelling (c -> insert);
+    # every 41st is truncated garbage
+    wire = wire.withColumn(
+        "value",
+        F.when(
+            F.pmod(F.xxhash64("value"), F.lit(41)) == 0,
+            F.substring("value", 1, 8),
+        )
+        .when(
+            F.pmod(F.xxhash64("value"), F.lit(5)) == 1,
+            F.regexp_replace("value", '^\\{"op":"c"', '{"op":"insert"'),
+        )
+        .otherwise(F.col("value")),
+    )
+    wire_dir = str(tmp_path / "wire")
+    wire.coalesce(1).write.parquet(os.path.join(wire_dir, "f1"))
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    mf = ManifestLog(str(tmp_path / "mf"))
+    q = start_envelope_stream(
+        spark, os.path.join(wire_dir, "*"), table, str(tmp_path / "ckpt"),
+        mf, TRANSCRIPT_SCHEMA,
+        dlq_dir=str(tmp_path / "dlq"), pending_dir=str(tmp_path / "pend"),
+    )
+    q.awaitTermination(120)
+    dlq0 = read_dlq(spark, str(tmp_path / "dlq"))
+    by_reason = {
+        r["_dlq_reason"]: r["n"]
+        for r in dlq0.groupBy("_dlq_reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_reason.get("bad_op", 0) > 0 and by_reason.get("malformed_json", 0) > 0
+    rows_before = table.read(spark).count()
+
+    stats = replay_dlq(
+        spark, table, str(tmp_path / "dlq"), TRANSCRIPT_SCHEMA,
+        pending_dir=str(tmp_path / "pend"), manifests=mf,
+        op_aliases={"insert": "insert"},
+    )
+    assert stats["recovered"] == by_reason["bad_op"]
+    assert stats["still_dead"] == by_reason["malformed_json"]
+    assert table.read(spark).count() >= rows_before
+    # quarantine rewritten: only the malformed remain
+    assert read_dlq(spark, str(tmp_path / "dlq")).count() == stats["still_dead"]
+    # idempotent: nothing left to recover
+    stats2 = replay_dlq(
+        spark, table, str(tmp_path / "dlq"), TRANSCRIPT_SCHEMA,
+        pending_dir=str(tmp_path / "pend"), manifests=mf,
+        op_aliases={"insert": "insert"},
+    )
+    assert stats2["recovered"] == 0
+    assert stats2["still_dead"] == stats["still_dead"]
