@@ -389,3 +389,59 @@ def test_replay_dlq_recovers_after_contract_fix(spark, tmp_path):
     )
     assert stats2["recovered"] == 0
     assert stats2["still_dead"] == stats["still_dead"]
+
+
+def test_envelope_stream_additive_schema_evolution(spark, tmp_path):
+    """Mid-stream additive columns, the Debezium schema-registry flow:
+    restart the stream with the widened payload schema. Old envelopes
+    parse with the new column null; the merge evolves the table schema
+    additively; pre-evolution rows read back as null."""
+    import pyspark.sql.types as T2
+
+    from oregonwaterdataportal_etl_spark.cdc import ManifestLog
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from oregonwaterdataportal_etl_spark.streaming import start_envelope_stream
+
+    import json as _json
+
+    def env(conv, turn, text, lsn, extra=None):
+        after = {"conv_id": conv, "turn_idx": turn, "text": text}
+        if extra is not None:
+            after["tool_meta"] = extra
+        return _json.dumps({"op": "c", "after": after, "source": {"lsn": lsn}})
+
+    v1 = T2.StructType([
+        T2.StructField("conv_id", T2.StringType()),
+        T2.StructField("turn_idx", T2.IntegerType()),
+        T2.StructField("text", T2.StringType()),
+    ])
+    v2 = T2.StructType(list(v1.fields) + [T2.StructField("tool_meta", T2.StringType())])
+
+    wire_dir = tmp_path / "wire3"
+    spark.createDataFrame(
+        [(env("a", 0, "old", 1),)], "value string"
+    ).coalesce(1).write.parquet(str(wire_dir / "f1"))
+    table = LakeTable.create(
+        str(tmp_path / "t3"), v1, key_cols=["conv_id", "turn_idx"], num_buckets=2
+    )
+    mf = ManifestLog(str(tmp_path / "mf3"))
+    common = dict(dlq_dir=str(tmp_path / "dlq3"), pending_dir=str(tmp_path / "pend3"))
+    q = start_envelope_stream(
+        spark, str(wire_dir / "*"), table, str(tmp_path / "ckpt3"), mf, v1, **common
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).columns == ["conv_id", "turn_idx", "text"]
+
+    # upstream adds tool_meta; restart with the widened schema
+    spark.createDataFrame(
+        [(env("a", 1, "new", 2, extra="m1"),)], "value string"
+    ).coalesce(1).write.parquet(str(wire_dir / "f2"))
+    q2 = start_envelope_stream(
+        spark, str(wire_dir / "*"), table, str(tmp_path / "ckpt3"), mf, v2, **common
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["tool_meta"]
+        for r in table.read(spark).collect()
+    }
+    assert got == {("a", 0): None, ("a", 1): "m1"}
