@@ -1,5 +1,6 @@
 from .bucketed import register_bucketed_table, write_bucketed_wal
 from .incremental import AggSpec, IncrementalAggView
+from .maintenance import MaintenancePolicy, maintain, plan_maintenance
 from .table import LakeTable, MergeResult
 from .wap import (
     Audit,
@@ -19,6 +20,9 @@ __all__ = [
     "IncrementalAggView",
     "LakeTable",
     "MergeResult",
+    "MaintenancePolicy",
+    "maintain",
+    "plan_maintenance",
     "register_bucketed_table",
     "write_bucketed_wal",
     "Audit",
