@@ -230,7 +230,26 @@ def bench_cdc(spark, workdir: str) -> dict:
     t0 = time.perf_counter()
     zx_table.merge_prebucketed(spark, wal_dir)
     incr_zx_elapsed = time.perf_counter() - t0
+
+    # envelope front-end decode: the incremental window wrapped as
+    # wire JSON (producer cost, untimed); timed = parse + quarantine +
+    # transaction gate over the wire (one from_json, one txn-window)
+    from oregonwaterdataportal_etl_spark.cdc import (
+        ingest_envelopes,
+        wrap_envelopes,
+    )
+
+    wire_dir = os.path.join(workdir, "wire_incr")
+    wrap_envelopes(incr).write.mode("overwrite").parquet(wire_dir)
+    wire = spark.read.parquet(wire_dir)
+    t0 = time.perf_counter()
+    ready, _dlq, _still = ingest_envelopes(wire, TRANSCRIPT_SCHEMA)
+    n_ready = ready.count()
+    env_elapsed = time.perf_counter() - t0
+    assert n_ready == incr_events  # clean wire: nothing quarantined
     return {
+        "envelope_ingest_sec": round(env_elapsed, 3),
+        "envelope_events_per_sec": round(incr_events / env_elapsed, 1),
         "cdc_incr_zx_apply_sec": round(incr_zx_elapsed, 3),
         "cdc_incr_zx_events_per_sec": round(incr_events / incr_zx_elapsed, 1),
         "cdc_apply_sec": round(elapsed, 3),
