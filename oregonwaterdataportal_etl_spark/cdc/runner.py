@@ -37,6 +37,7 @@ class CdcRunner:
         compact_every: int = 0,
         commit_retries: int = 3,
         ann_indexes: list | None = None,
+        maintenance_policy=None,
     ):
         """mode='mor' + compact_every=N is the high-rate configuration:
         append delta files per window (apply cost independent of table
@@ -56,7 +57,15 @@ class CdcRunner:
         ann_indexes: operators.ann_index.AnnIndex instances bound to
         this table; they are refresh_if_stale()'d on the compaction
         cycle so index and corpus move together (the versioned-index
-        maintenance hook)."""
+        maintenance hook).
+
+        maintenance_policy: a lake.maintenance.MaintenancePolicy.
+        When set, every compact_every committed windows the runner
+        calls policy-driven ``maintain()`` (metadata-only decisions:
+        compact / rebucket / tombstone expiry / vacuum as the table's
+        own stats demand) instead of the fixed compact+expire pair;
+        the runner's own offset log is wired in as the tombstone
+        watermark unless the policy names another."""
         self.table = table
         self.offsets = offsets
         self.manifests = manifests
@@ -67,6 +76,7 @@ class CdcRunner:
         self.compact_every = compact_every
         self.commit_retries = commit_retries
         self.ann_indexes = list(ann_indexes or [])
+        self.maintenance_policy = maintenance_policy
         self._windows_since_compact = 0
 
     def run_window(self, lsn_lo: int, lsn_hi: int) -> MergeResult | None:
@@ -126,6 +136,19 @@ class CdcRunner:
                     # bin-pack and commits a metadata no-op; tombstones
                     # expire up to the committed offset watermark (the
                     # offsets log clamps the bound inside the method)
+                    if self.maintenance_policy is not None:
+                        from dataclasses import replace
+
+                        from ..lake.maintenance import maintain as _maintain
+
+                        pol = self.maintenance_policy
+                        if pol.expire_tombstones_with_offsets is None:
+                            pol = replace(
+                                pol,
+                                expire_tombstones_with_offsets=self.offsets,
+                            )
+                        _maintain(spark, self.table, pol)
+                        return
                     if self.mode == "mor":
                         self.table.compact(spark)
                     self.table.expire_tombstones(spark, offsets=self.offsets)

@@ -135,9 +135,15 @@ def maintain(
     plan = plan_maintenance(table, policy)
     if "rebucket" in plan:
         table.rebucket(spark, plan.pop("_rebucket_target"))
-        # a rebucket rewrites every file into exactly one file per
-        # bucket, so any compact trigger is already satisfied
-        plan.pop("compact", None)
+        # rebucket rewrites every file into the NEW layout — one base
+        # file per bucket — but MOR deltas stay deltas (rewritten, not
+        # folded), so the compact concern must be re-planned against
+        # the post-rebucket snapshot rather than assumed satisfied
+        replan = plan_maintenance(table, policy)
+        if "compact" in replan:
+            plan["compact"] = replan["compact"]
+        else:
+            plan.pop("compact", None)
     if "compact" in plan:
         kwargs = dict(policy.compact_kwargs)
         if policy.cluster_by:

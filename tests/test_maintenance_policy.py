@@ -122,3 +122,44 @@ def test_vacuum_trigger_bounds_history(spark, tmp_path):
     assert "vacuum" in report
     assert len(t.history()) <= 3  # kept 2 + current counting semantics
     assert t.read(spark).count() > 0
+
+
+def test_runner_drives_policy_maintenance(spark, tmp_path):
+    """CdcRunner(maintenance_policy=...) runs policy upkeep on the
+    compaction cadence: MOR deltas fold, the bucket count grows when
+    the per-bucket row bound is crossed, and the final state equals a
+    plain one-shot LWW apply of the whole stream."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        CdcRunner,
+        ManifestLog,
+        lww_dedup,
+    )
+
+    stream = generate_changes(spark, 3000, 40, seed=7)
+    stream_dir = str(tmp_path / "stream")
+    stream.write.parquet(stream_dir)
+    t = _table(tmp_path, buckets=2)
+    pol = MaintenancePolicy(
+        max_delta_files_per_bucket=0,   # always fold on cadence
+        max_rows_per_bucket=400,
+        keep_snapshots=4,
+        orphan_grace_seconds=0.0,
+    )
+    runner = CdcRunner(
+        t,
+        OffsetLog(str(tmp_path / "off"), "s"),
+        ManifestLog(str(tmp_path / "mf")),
+        lambda: spark.read.parquet(stream_dir),
+        mode="mor",
+        compact_every=2,
+        maintenance_policy=pol,
+    )
+    # 4 windows with cadence 2 -> maintenance fires after windows 2 and
+    # 4, so the final snapshot carries no unfolded deltas
+    runner.run_available(window_size=750)
+    assert not t.snapshot().get("deltas")          # folded on cadence
+    assert t.snapshot()["num_buckets"] > 2         # rebucket triggered
+    control = lww_dedup(stream).filter(F.col("op") != "delete").drop("op", "lsn")
+    got = t.read(spark)
+    assert got.exceptAll(control).count() == 0
+    assert control.exceptAll(got).count() == 0
