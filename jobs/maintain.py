@@ -24,6 +24,13 @@ and the runner retries through CommitConflictError):
 (LakeTable.rebucket: full-layout rewrite; schedule it like any other
 table-rewrite maintenance). No-op when the table already has N.
 
+--auto switches to POLICY-DRIVEN maintenance (lake/maintenance.py):
+decisions come from snapshot metadata alone, so a healthy table costs
+nothing; thresholds tune via --max-files=N --max-deltas=N
+--max-rows-per-bucket=N. The report of actions taken rides in the
+output JSON under "policy_actions". Loop the job until that report
+comes back empty — each action clears its own trigger.
+
 Prints one JSON line of before/after metrics to stdout.
 """
 
@@ -33,16 +40,30 @@ import sys
 from pyspark.sql import SparkSession
 
 from oregonwaterdataportal_etl_spark.cdc import OffsetLog
-from oregonwaterdataportal_etl_spark.lake import LakeTable
+from oregonwaterdataportal_etl_spark.lake import (
+    LakeTable,
+    MaintenancePolicy,
+    maintain,
+)
 from oregonwaterdataportal_etl_spark.lake.table import retry_on_conflict as _retry
 
 
 def main() -> None:
     rebucket_to = None
+    auto = False
+    knobs: dict[str, int] = {}
     args = []
     for a in sys.argv[1:]:
         if a.startswith("--rebucket="):
             rebucket_to = int(a.split("=", 1)[1])
+        elif a == "--auto":
+            auto = True
+        elif a.startswith("--max-files="):
+            knobs["max_files_per_bucket"] = int(a.split("=", 1)[1])
+        elif a.startswith("--max-deltas="):
+            knobs["max_delta_files_per_bucket"] = int(a.split("=", 1)[1])
+        elif a.startswith("--max-rows-per-bucket="):
+            knobs["max_rows_per_bucket"] = int(a.split("=", 1)[1])
         else:
             args.append(a)
     table_dir = args[0]
@@ -50,6 +71,32 @@ def main() -> None:
     keep_last = int(args[2]) if len(args) > 2 else 3
     spark = SparkSession.builder.appName("owdp-maintain").getOrCreate()
     table = LakeTable(table_dir)
+    if auto:
+        before = table.stats()
+        policy = MaintenancePolicy(
+            expire_tombstones_with_offsets=(
+                OffsetLog(offsets_dir) if offsets_dir else None
+            ),
+            keep_snapshots=keep_last,
+            **knobs,
+        )
+        report = _retry(lambda: maintain(spark, table, policy))
+        after = table.stats()
+        print(
+            json.dumps(
+                {
+                    "policy_actions": report,
+                    "base_files_before": before["base_files"],
+                    "base_files_after": after["base_files"],
+                    "delta_files_before": before["delta_files"],
+                    "delta_files_after": after["delta_files"],
+                    "rows_base": after["rows_base"],
+                    "num_buckets": after["num_buckets"],
+                }
+            )
+        )
+        spark.stop()
+        return
     before = table.stats()
     if rebucket_to is not None:
         _retry(lambda: table.rebucket(spark, rebucket_to))

@@ -174,3 +174,71 @@ def test_spark_submit_bucketed_wal_zero_exchange(spark, tmp_path):
         if s["version"] > 0
     ]
     assert ops == ["merge-prebucketed"] * 2, ops
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_envelope_ingest_and_replay(spark, tmp_path):
+    """jobs/envelope_ingest.py through real spark-submit --py-files:
+    first run quarantines bad_op + malformed wire rows; second run with
+    --replay-dlq --op-alias recovers the bad_op rows into the table."""
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from oregonwaterdataportal_etl_spark.cdc import (
+        generate_changes,
+        wrap_envelopes,
+    )
+    from oregonwaterdataportal_etl_spark.lake import LakeTable
+    from package import build
+
+    wire = wrap_envelopes(generate_changes(spark, 1500, 30, seed=13)).withColumn(
+        "value",
+        F.when(
+            F.pmod(F.xxhash64("value"), F.lit(19)) == 0,
+            F.substring("value", 1, 8),
+        )
+        .when(
+            F.pmod(F.xxhash64("value"), F.lit(7)) == 1,
+            F.regexp_replace("value", '^\\{"op":"c"', '{"op":"insert"'),
+        )
+        .otherwise(F.col("value")),
+    )
+    wire_dir = tmp_path / "wire"
+    wire.coalesce(1).write.parquet(str(wire_dir / "f1"))
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+
+    def run(*extra):
+        out_log = tmp_path / "out.log"
+        with open(out_log, "w") as out:
+            subprocess.run(
+                [
+                    SPARK_SUBMIT,
+                    "--master", "local[2]",
+                    "--conf", "spark.ui.enabled=false",
+                    "--py-files", zip_path,
+                    os.path.join(REPO, "jobs", "envelope_ingest.py"),
+                    str(wire_dir / "*"),
+                    str(tmp_path / "table"),
+                    str(tmp_path / "state"),
+                    *extra,
+                ],
+                cwd=str(tmp_path),
+                env=env,
+                stdout=out,
+                stderr=subprocess.DEVNULL,
+                check=True,
+                timeout=300,
+            )
+        lines = [l for l in out_log.read_text().splitlines() if l.startswith("{")]
+        assert lines, "job printed no metrics"
+        return json.loads(lines[-1])
+
+    m1 = run()
+    assert m1["rows"] > 0 and m1["dlq_rows"] > 0
+    m2 = run("--replay-dlq", "--op-alias=insert:insert")
+    assert m2["replay"]["recovered"] > 0
+    assert m2["replay"]["still_dead"] == m2["dlq_rows"] < m1["dlq_rows"]
+    assert m2["rows"] >= m1["rows"]
+    assert LakeTable(str(tmp_path / "table")).read(spark).count() == m2["rows"]
