@@ -195,3 +195,46 @@ def test_run_audits_is_one_job(spark):
     assert run_audits(df, audits) == {}
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     assert len(after) - len(before) <= 2  # one agg (AQE may add a stage job)
+
+
+def test_runner_ingests_into_wap_stage(spark, tmp_path):
+    """Audited ingest by composition: a WapStage IS a LakeTable, so
+    CdcRunner pointed at a stage applies its windows invisibly; the
+    whole ingest run then publishes as ONE audited main-line commit."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        CdcRunner,
+        ManifestLog,
+        OffsetLog,
+        lww_dedup,
+    )
+
+    stream = generate_changes(spark, 2000, 30, seed=17)
+    stream_dir = str(tmp_path / "stream")
+    stream.write.parquet(stream_dir)
+    table = _table(tmp_path)
+    apply_batch(table, generate_changes(spark, 500, 30, seed=16, lsn_start=-500))
+    v_main = table.current_version()
+
+    stage = table.begin_wap("ingest")
+    runner = CdcRunner(
+        stage,
+        OffsetLog(str(tmp_path / "off"), "s"),
+        ManifestLog(str(tmp_path / "mf")),
+        lambda: spark.read.parquet(stream_dir),
+        mode="mor",
+        compact_every=2,
+    )
+    results = runner.run_available(window_size=500)
+    assert len(results) == 4
+    assert table.current_version() == v_main       # nothing leaked to main
+    assert len(stage.staged_versions()) >= 4
+
+    v_pub = stage.publish(
+        spark, audits=[UniqueKeys(["conv_id", "turn_idx"]), NotNull("conv_id")]
+    )
+    assert v_pub == v_main + 1                      # one audited commit
+    # final state equals main-batch + stream folded directly
+    control = _table(tmp_path, "control")
+    apply_batch(control, generate_changes(spark, 500, 30, seed=16, lsn_start=-500))
+    apply_batch(control, stream)
+    assert _state(spark, table) == _state(spark, control)
