@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -127,6 +128,11 @@ def versioned_commit(
         os.replace(tmp, ptr)
         _fsync_dir(meta_dir)
 
+    # wall-clock commit stamp (additive, shared by every versioned
+    # store): powers timestamp time travel (LakeTable.version_at) and
+    # the history metadata frame. setdefault so a replayed/re-published
+    # manifest keeps its original time when the caller carries one.
+    manifest.setdefault("committed_at", time.time())
     mpath = os.path.join(meta_dir, manifest_name)
     tmp_manifest = mpath + f".tmp-{uuid.uuid4().hex}"
     with open(tmp_manifest, "w") as f:
@@ -519,6 +525,40 @@ class LakeTable:
                     out.append(json.load(f))
         return out
 
+    def version_at(self, timestamp: float) -> int:
+        """Timestamp time travel (Iceberg TIMESTAMP AS OF): the highest
+        settled version whose commit stamp is <= ``timestamp`` (epoch
+        seconds). Snapshots beyond CURRENT (crashed-committer orphans)
+        are excluded — they are not readable state yet. Raises
+        ValueError when the table did not exist at that time or the
+        relevant history has been vacuumed away."""
+        current = self.current_version()
+        best = None
+        for snap in self.history():
+            ts = snap.get("committed_at")
+            if (
+                snap["version"] <= current
+                and ts is not None
+                and ts <= timestamp
+                and (best is None or snap["version"] > best)
+            ):
+                best = snap["version"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {timestamp} "
+                f"(table created later, or that history was vacuumed)"
+            )
+        return best
+
+    def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Queryable metadata frames (Iceberg's ``t.files`` /
+        ``t.history`` / ``t.partitions`` analog): kind is "files",
+        "history" or "partitions". Built from manifests + os.stat only
+        — no data-file I/O, no Spark jobs beyond createDataFrame."""
+        from .metadata import build_metadata_df
+
+        return build_metadata_df(spark, self, kind)
+
     def _commit(self, snap: dict) -> None:
         """Atomic snapshot commit with optimistic concurrency — the
         shared ``versioned_commit`` discipline over snap-N.json. Tables
@@ -783,6 +823,7 @@ class LakeTable:
         version: int | None = None,
         columns: list[str] | None = None,
         resolve: str = "window",
+        as_of: float | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot (time travel). Missing columns
         in old files are filled with nulls (additive schema evolution —
@@ -801,7 +842,14 @@ class LakeTable:
         and the resolve exchange. Pinned by
         tests/test_round2_fixes.py::test_read_column_pruning_through_mor_resolve,
         which exists to catch a Catalyst regression, not to justify
-        manual plumbing."""
+        manual plumbing.
+
+        as_of: epoch-seconds timestamp time travel (mutually exclusive
+        with version) — resolves via version_at()."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(as_of)
         v = self.current_version() if version is None else version
         if columns is not None:
             schema = T.StructType.fromJson(json.loads(self.snapshot(v)["schema"]))

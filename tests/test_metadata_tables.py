@@ -1,0 +1,64 @@
+"""Metadata frames + timestamp time travel (lake/metadata.py,
+LakeTable.version_at / read(as_of=...))."""
+
+import time
+
+import pytest
+
+from oregonwaterdataportal_etl_spark.cdc import apply_batch, generate_changes
+from oregonwaterdataportal_etl_spark.cdc.changegen import TRANSCRIPT_SCHEMA
+from oregonwaterdataportal_etl_spark.lake import LakeTable
+
+
+def _table(tmp_path):
+    return LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+
+
+def test_metadata_frames_match_stats(spark, tmp_path):
+    t = _table(tmp_path)
+    apply_batch(t, generate_changes(spark, 800, 20, seed=1, delete_rate=0.2))
+    apply_batch(
+        t, generate_changes(spark, 400, 20, seed=2, lsn_start=800), mode="mor"
+    )
+    stats = t.stats()
+
+    files = t.metadata_df(spark, "files")
+    by_kind = {r["kind"]: r["n"] for r in files.groupBy("kind").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert by_kind.get("base", 0) == stats["base_files"]
+    assert by_kind.get("delta", 0) == stats["delta_files"]
+    assert by_kind.get("tombstone", 0) == stats["tombstone_files"]
+    assert files.filter("size_bytes IS NULL").count() == 0  # all on disk
+
+    hist = t.metadata_df(spark, "history").orderBy("version").collect()
+    assert [r["version"] for r in hist] == [0, 1, 2]
+    assert [r["operation"] for r in hist] == ["create", "merge", "merge-mor"]
+    ts = [r["committed_at"] for r in hist]
+    assert all(ts[i] <= ts[i + 1] for i in range(len(ts) - 1))
+
+    parts = t.metadata_df(spark, "partitions")
+    assert parts.count() == 4
+    assert sum(r["rows_base"] for r in parts.collect()) == stats["rows_base"]
+
+    with pytest.raises(ValueError):
+        t.metadata_df(spark, "nope")
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    t = _table(tmp_path)
+    apply_batch(t, generate_changes(spark, 300, 10, seed=3))
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    apply_batch(t, generate_changes(spark, 300, 10, seed=4, lsn_start=300))
+
+    assert t.version_at(t_after_v1) == 1
+    assert t.version_at(time.time()) == t.current_version() == 2
+    v1_rows = t.read(spark, version=1).count()
+    assert t.read(spark, as_of=t_after_v1).count() == v1_rows
+    with pytest.raises(ValueError):
+        t.version_at(t.snapshot(0)["committed_at"] - 100)
+    with pytest.raises(ValueError):
+        t.read(spark, version=1, as_of=t_after_v1)
