@@ -64,14 +64,16 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       (gifcodec.py);
     - image/jpeg baseline sequential (SOF0/SOF1, incl. 4:2:0/4:2:2
       subsampling and restart markers) -> same histogram (jpegcodec.py);
-    - audio/wav(e) with a RIFF header -> 32-bin log-magnitude spectrum
-      (wavcodec.py, numpy FFT);
+    - audio/wav(e) with a RIFF header (integer PCM, IEEE float,
+      G.711 mu-law/A-law, mono IMA ADPCM) -> 32-bin log-magnitude
+      spectrum (wavcodec.py, numpy FFT);
     - video/avi Motion-JPEG or uncompressed 24-bit DIB (RIFF
       container, avicodec.py) -> luminance histogram of the FIRST
       frame (jpeg codec / direct RGB rows respectively).
     Other image/audio/video mimes (and payloads the minimal codecs
     can't parse: palette/interlaced/16-bit PNG, RLE/paletted BMP,
-    PROGRESSIVE jpeg, non-PCM WAV, non-MJPG AVI, truncated blobs):
+    stereo-ADPCM/mp3-in-wav WAV, non-MJPG/non-DIB AVI, truncated
+    blobs):
     deterministic sha256-derived fake features, decoded=False — the
     documented STUB; swap for PIL/ffmpeg/librosa on a real cluster.
     The flag makes the fallback filterable instead of silent."""
