@@ -55,7 +55,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
     """Decode + featurize one payload -> (feature, decoded).
 
     REAL in-tree decodes (pure stdlib + numpy), decoded=True:
-    - image/png with a valid signature -> 32-bin luminance histogram
+    - image/png with a valid signature (gray/RGB/RGBA/palette at bit
+      depths 1-16, Adam7 interlace) -> 32-bin luminance histogram
       (pngcodec.py);
     - image/bmp (uncompressed BI_RGB 24/32-bit) -> same histogram
       (bmpcodec.py);
@@ -71,9 +72,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       container, avicodec.py) -> luminance histogram of the FIRST
       frame (jpeg codec / direct RGB rows respectively).
     Other image/audio/video mimes (and payloads the minimal codecs
-    can't parse: palette/interlaced/16-bit PNG, RLE/paletted BMP,
-    stereo-ADPCM/mp3-in-wav WAV, non-MJPG/non-DIB AVI, truncated
-    blobs):
+    can't parse: RLE/paletted BMP, stereo-ADPCM/mp3-in-wav WAV,
+    non-MJPG/non-DIB AVI, truncated blobs):
     deterministic sha256-derived fake features, decoded=False — the
     documented STUB; swap for PIL/ffmpeg/librosa on a real cluster.
     The flag makes the fallback filterable instead of silent."""

@@ -1,10 +1,14 @@
 """Minimal pure-stdlib PNG codec (zlib + struct + numpy).
 
 Closes the round-1 multimodal stub for one real format without new
-dependencies: `decode_png` handles non-interlaced 8-bit grayscale,
-gray+alpha, RGB and RGBA images (PNG spec filters 0-4, including
-Paeth); `encode_png` writes filter-0 RGB/RGBA/grayscale. Palette and
-16-bit images raise — swap in PIL on a real cluster for full coverage.
+dependencies: `decode_png` handles grayscale, gray+alpha, RGB, RGBA
+AND palette color types at bit depths 1/2/4/8/16 (PNG spec filters
+0-4 including Paeth; PLTE + tRNS palette transparency; Adam7
+interlace), normalizing everything to uint8 output (16-bit samples
+take their high byte — the standard feature-pipeline downconversion,
+exact for the x*257 encoding ladder). `encode_png` writes filter-0
+images, optionally paletted and/or Adam7-interlaced (the test
+fixture path).
 
 This runs INSIDE Arrow-batched mapInPandas workers (see multimodal.py):
 per-image numpy work, never per-row Python at the DataFrame layer.
@@ -19,7 +23,13 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -29,35 +39,9 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """-> uint8 array of shape (h, w, channels)."""
-    if not payload.startswith(PNG_MAGIC):
-        raise ValueError("not a PNG (bad signature)")
-    pos, width = len(PNG_MAGIC), None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise NotImplementedError(f"bit depth {depth} unsupported (8 only)")
-            if color not in _CHANNELS:
-                raise NotImplementedError(f"color type {color} unsupported")
-            if interlace:
-                raise NotImplementedError("interlaced PNG unsupported")
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("missing IHDR")
-    ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters -> (height, stride) raw bytes.
+    ``bpp`` is the filter's byte distance (bytes per pixel, >=1)."""
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -79,13 +63,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur_l = cur.tolist()
             up_l = up.tolist()
             for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
+                left = row[x - bpp] if x >= bpp else 0
                 if f == 1:
                     pred = left
                 elif f == 3:
                     pred = (left + up_l[x]) >> 1
                 else:
-                    ul = up_l[x - ch] if x >= ch else 0
+                    ul = up_l[x - bpp] if x >= bpp else 0
                     p = left + up_l[x] - ul
                     pa = p - left if p >= left else left - p
                     pb = p - up_l[x] if p >= up_l[x] else up_l[x] - p
@@ -100,28 +84,193 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = np.asarray(row, dtype=np.uint8)
         else:
             raise ValueError(f"unknown filter {f}")
-    return out.reshape(height, width, ch)
+    return out
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 (h, w) or (h, w, {1,2,3,4}) -> PNG bytes (filter 0)."""
+def _rows_to_samples(
+    rows: np.ndarray, width: int, ch: int, depth: int
+) -> np.ndarray:
+    """(h, stride) raw bytes -> (h, width, ch) samples (uint8, or
+    uint16 for depth 16)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * ch].reshape(h, width, ch)
+    if depth == 16:
+        b = rows[:, : width * ch * 2].reshape(h, width, ch, 2).astype(np.uint16)
+        return (b[..., 0] << 8) | b[..., 1]  # network byte order
+    # sub-byte depths: MSB-first bit groups
+    bits = np.unpackbits(rows, axis=1)
+    n = width * ch
+    groups = bits[:, : ((n * depth + depth - 1) // depth) * depth]
+    groups = groups[:, : n * depth].reshape(h, n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, width, ch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """-> uint8 array of shape (h, w, channels). Palette images come
+    back expanded to RGB (RGBA when tRNS is present); 16-bit samples
+    are downconverted to their high byte."""
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = len(PNG_MAGIC), None
+    idat = bytearray()
+    plte = trns = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth not in (1, 2, 4, 8, 16):
+                raise NotImplementedError(f"bit depth {depth} unsupported")
+            if color not in _CHANNELS:
+                raise NotImplementedError(f"color type {color} unsupported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    ch = _CHANNELS[color]
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        stride = (width * bits_pp + 7) // 8
+        samples = _rows_to_samples(
+            _unfilter(raw, height, stride, bpp), width, ch, depth
+        )
+    else:  # Adam7: seven independently-filtered sub-images, one stream
+        samples = np.zeros(
+            (height, width, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bits_pp + 7) // 8
+            sub = raw[off : off + ph * (stride + 1)]
+            off += ph * (stride + 1)
+            samples[y0::dy, x0::dx] = _rows_to_samples(
+                _unfilter(sub, ph, stride, bpp), pw, ch, depth
+            )
+    if color == 3:  # palette lookup (indices are never scaled)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[..., 0].astype(np.int64)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if depth == 16:
+        return (samples >> 8).astype(np.uint8)
+    if depth < 8:  # grayscale upscaling to full range
+        return (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    return samples
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _serialize_rows(arr: np.ndarray, depth: int) -> bytes:
+    """(h, w, ch) samples -> filter-0 scanlines at the given depth."""
+    h = arr.shape[0]
+    if depth == 8:
+        return b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    if depth == 16:
+        be = arr.astype(">u2")
+        return b"".join(b"\x00" + be[y].tobytes() for y in range(h))
+    out = []
+    for y in range(h):
+        flat = arr[y].reshape(-1).astype(np.uint8)
+        bits = (
+            (flat[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(-1).astype(np.uint8)
+        out.append(b"\x00" + np.packbits(bits).tobytes())
+    return b"".join(out)
+
+
+def _passes(arr: np.ndarray, interlace: bool):
+    if not interlace:
+        yield arr
+        return
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            yield sub
+
+
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (h, w) or (h, w, {1,2,3,4}) -> PNG bytes (filter 0),
+    optionally Adam7-interlaced."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    scans = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    idat = zlib.compress(scans)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
-        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
-
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    scans = b"".join(_serialize_rows(p, 8) for p in _passes(arr, interlace))
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scans))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_paletted(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) palette indices + (n, 3) palette -> color-type-3 PNG at
+    bit depth 1/2/4/8 (test-fixture encoder for the palette decode)."""
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+    scans = b"".join(
+        _serialize_rows(p[:, :, None], depth)
+        for p in _passes(indices, interlace)
+    )
+    out = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(
+        b"PLTE", palette.astype(np.uint8).tobytes()
+    )
+    if trns is not None:
+        out += _chunk(b"tRNS", trns.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(scans)) + _chunk(b"IEND", b"")
+
+
+def encode_png_16bit(arr16: np.ndarray, interlace: bool = False) -> bytes:
+    """uint16 (h, w) or (h, w, ch) -> 16-bit PNG (test fixture)."""
+    if arr16.ndim == 2:
+        arr16 = arr16[:, :, None]
+    h, w, ch = arr16.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, int(interlace))
+    scans = b"".join(_serialize_rows(p, 16) for p in _passes(arr16, interlace))
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scans))
+        + _chunk(b"IEND", b"")
     )
 
 
