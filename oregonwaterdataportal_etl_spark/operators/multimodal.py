@@ -58,8 +58,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
     - image/png with a valid signature (gray/RGB/RGBA/palette at bit
       depths 1-16, Adam7 interlace) -> 32-bin luminance histogram
       (pngcodec.py);
-    - image/bmp (uncompressed BI_RGB 24/32-bit) -> same histogram
-      (bmpcodec.py);
+    - image/bmp (BI_RGB 24/32-bit, paletted 1/4/8-bit, RLE8/RLE4)
+      -> same histogram (bmpcodec.py);
     - image/gif (GIF87a/89a incl. interlace, local palettes,
       transparency; first composited frame) -> same histogram
       (gifcodec.py);
@@ -72,7 +72,7 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       container, avicodec.py) -> luminance histogram of the FIRST
       frame (jpeg codec / direct RGB rows respectively).
     Other image/audio/video mimes (and payloads the minimal codecs
-    can't parse: RLE/paletted BMP, stereo-ADPCM/mp3-in-wav WAV,
+    can't parse: 16-bit-bitfield BMP, stereo-ADPCM/mp3-in-wav WAV,
     non-MJPG/non-DIB AVI, truncated blobs):
     deterministic sha256-derived fake features, decoded=False — the
     documented STUB; swap for PIL/ffmpeg/librosa on a real cluster.
