@@ -35,9 +35,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     compression = struct.unpack_from("<I", data, 30)[0]
     clr_used = struct.unpack_from("<I", data, 46)[0]
     ok = (
-        (compression == 0 and bpp in (1, 4, 8, 24, 32))
+        (compression == 0 and bpp in (1, 4, 8, 16, 24, 32))
         or (compression == 1 and bpp == 8)   # BI_RLE8
         or (compression == 2 and bpp == 4)   # BI_RLE4
+        or (compression == 3 and bpp in (16, 32))  # BI_BITFIELDS
     )
     if planes != 1 or not ok:
         raise NotImplementedError(
@@ -78,6 +79,36 @@ def decode_bmp(data: bytes) -> np.ndarray:
     need = pixel_off + stride * height
     if len(data) < need:
         raise ValueError("truncated BMP pixel data")
+    if bpp == 16 or compression == 3:
+        # bitfield pixels: masks follow the header for BI_BITFIELDS;
+        # plain 16-bit BI_RGB defaults to RGB555
+        if compression == 3:
+            rm, gm, bm = struct.unpack_from("<III", data, 14 + 40)
+        elif bpp == 16:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F
+        else:
+            rm, gm, bm = 0x00FF0000, 0x0000FF00, 0x000000FF
+        dt = np.dtype("<u2") if bpp == 16 else np.dtype("<u4")
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * height, offset=pixel_off
+        ).reshape(height, stride)
+        px = np.ascontiguousarray(rows[:, : width * bypp])
+        vals = px.view(dt)[:, :width].astype(np.uint32)
+
+        def chan(mask: int) -> np.ndarray:
+            if mask == 0:
+                return np.zeros_like(vals, dtype=np.uint8)
+            shift = (mask & -mask).bit_length() - 1
+            width_bits = int(mask >> shift).bit_length()
+            c = (vals & mask) >> shift
+            # expand to 8 bits by bit replication (exact for 5/6/8)
+            out = c << (8 - width_bits)
+            if width_bits < 8:
+                out |= out >> width_bits
+            return out.astype(np.uint8)
+
+        rgb = np.dstack([chan(rm), chan(gm), chan(bm)])
+        return np.ascontiguousarray(rgb[::-1] if bottom_up else rgb)
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * height, offset=pixel_off
     ).reshape(height, stride)

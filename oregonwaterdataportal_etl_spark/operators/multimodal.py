@@ -4,8 +4,10 @@ Images/audio/video ride as `binary` columns with a struct of metadata
 (mime, width/height/duration, sha256). The Spark-side machinery —
 schema, partition sizing, Arrow batch shape, mapInPandas signatures —
 is real and tested. Codecs are REAL and in-tree (pure stdlib + numpy)
-for PNG, BMP, baseline JPEG, PCM WAV and Motion-JPEG AVI; everything
-else falls back to a deterministic stub FLAGGED with decoded=false
+for PNG (all color types/depths/interlace), BMP (truecolor incl.
+16-bit, paletted, RLE), GIF, baseline+progressive JPEG, WAV (PCM,
+float, G.711, IMA ADPCM) and MJPEG/raw-DIB AVI; everything else
+falls back to a deterministic stub FLAGGED with decoded=false
 (the broad image/audio libraries are not in this container — swap
 `_decode_one` for PIL/ffmpeg/librosa on a real cluster).
 
@@ -58,8 +60,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
     - image/png with a valid signature (gray/RGB/RGBA/palette at bit
       depths 1-16, Adam7 interlace) -> 32-bin luminance histogram
       (pngcodec.py);
-    - image/bmp (BI_RGB 24/32-bit, paletted 1/4/8-bit, RLE8/RLE4)
-      -> same histogram (bmpcodec.py);
+    - image/bmp (BI_RGB 16/24/32-bit incl. RGB555, BI_BITFIELDS,
+      paletted 1/4/8-bit, RLE8/RLE4) -> same histogram (bmpcodec.py);
     - image/gif (GIF87a/89a incl. interlace, local palettes,
       transparency; first composited frame) -> same histogram
       (gifcodec.py);
@@ -72,8 +74,8 @@ def _decode_one(payload: bytes, mime: str) -> tuple[np.ndarray, bool]:
       container, avicodec.py) -> luminance histogram of the FIRST
       frame (jpeg codec / direct RGB rows respectively).
     Other image/audio/video mimes (and payloads the minimal codecs
-    can't parse: 16-bit-bitfield BMP, stereo-ADPCM/mp3-in-wav WAV,
-    non-MJPG/non-DIB AVI, truncated blobs):
+    can't parse: stereo-ADPCM/mp3-in-wav WAV, non-MJPG/non-DIB AVI,
+    truncated blobs):
     deterministic sha256-derived fake features, decoded=False — the
     documented STUB; swap for PIL/ffmpeg/librosa on a real cluster.
     The flag makes the fallback filterable instead of silent."""

@@ -65,3 +65,36 @@ def test_rle8_delta_and_absolute_runs():
 def test_truecolor_bmp_still_works():
     arr = RNG.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
     assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+def test_16bit_bmp_555_and_565():
+    """Hand-built 16-bit pixels: default RGB555 (compression 0) and
+    BI_BITFIELDS RGB565, both with bit-replicated 8-bit expansion."""
+    def bmp16(vals, w, h, compression, masks=None):
+        stride = (w * 2 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        arr = np.array(vals, dtype="<u2").reshape(h, w)
+        rows[:, : w * 2] = arr.view(np.uint8).reshape(h, w * 2)
+        extra = struct.pack("<III", *masks) if masks else b""
+        off = 54 + len(extra)
+        hdr = struct.pack("<2sIHHI", b"BM", off + rows.nbytes, 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 16, compression,
+                          rows.nbytes, 0, 0, 0, 0)  # top-down
+        return hdr + dib + extra + rows.tobytes()
+
+    # RGB555: r=31 g=0 b=0 -> 0x7C00 -> pure red 255
+    got = decode_bmp(bmp16([0x7C00, 0x03E0, 0x001F, 0], 4, 1, 0))
+    assert got.shape == (1, 4, 3)
+    assert list(got[0, 0]) == [255, 0, 0]
+    assert list(got[0, 1]) == [0, 255, 0]
+    assert list(got[0, 2]) == [0, 0, 255]
+    assert list(got[0, 3]) == [0, 0, 0]
+    # RGB565 via BI_BITFIELDS: g has 6 bits
+    masks = (0xF800, 0x07E0, 0x001F)
+    got = decode_bmp(bmp16([0xF800, 0x07E0, 0x001F], 3, 1, 3, masks))
+    assert list(got[0, 0]) == [255, 0, 0]
+    assert list(got[0, 1]) == [0, 255, 0]
+    assert list(got[0, 2]) == [0, 0, 255]
+    # mid-range green: 32/63 -> replicated 8-bit 130
+    got = decode_bmp(bmp16([32 << 5], 1, 1, 3, masks))
+    assert got[0, 0, 1] == (32 << 2) | (32 >> 4)
