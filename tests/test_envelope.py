@@ -445,3 +445,19 @@ def test_envelope_stream_additive_schema_evolution(spark, tmp_path):
         for r in table.read(spark).collect()
     }
     assert got == {("a", 0): None, ("a", 1): "m1"}
+
+
+def test_envelope_plan_shape(spark):
+    """Plan pins for the decode path: parse + DLQ split are pure maps
+    (ZERO Exchange — decode parallelism is free), and the transaction
+    gate adds exactly ONE Exchange (the txn_id window shuffle)."""
+    changes = generate_changes(spark, 200, 10, seed=5)
+    raw = wrap_envelopes(changes)
+    clean, dlq = split_dlq(parse_envelopes(raw, TRANSCRIPT_SCHEMA))
+    for df in (clean, dlq):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    ready, still = gate_transactions(clean)
+    for df in (ready, still):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
