@@ -4,6 +4,8 @@ from .maintenance import MaintenancePolicy, maintain, plan_maintenance
 from .table import LakeTable, MergeResult
 from .wap import (
     Audit,
+    ChangeAudit,
+    DeltaBounds,
     ExprHolds,
     NotNull,
     RowBounds,
@@ -26,6 +28,8 @@ __all__ = [
     "register_bucketed_table",
     "write_bucketed_wal",
     "Audit",
+    "ChangeAudit",
+    "DeltaBounds",
     "NotNull",
     "UniqueKeys",
     "RowBounds",

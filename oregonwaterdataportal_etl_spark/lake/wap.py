@@ -169,6 +169,69 @@ class ExprHolds(Audit):
         return (bad == 0, "ok" if bad == 0 else f"{bad} violating rows")
 
 
+class ChangeAudit(Audit):
+    """Audit over the STAGED CHANGELOG (stage.read_changes from the
+    base version) instead of the staged state — the guard for "how
+    much did this publish change", which state audits cannot see.
+    ``publish`` routes these to a second single-agg pass over the
+    changelog frame (``_change_type`` ∈ insert/update/delete)."""
+
+    wants_changes = True
+
+
+class DeltaBounds(ChangeAudit):
+    """Bound the net change a publish may apply: absolute caps per
+    change type and/or a deleted-fraction cap against the base row
+    count (metadata-only — no base scan). The classic WAP guard: an
+    empty or truncated upstream must not silently delete the table."""
+
+    def __init__(
+        self,
+        max_inserted: int | None = None,
+        max_updated: int | None = None,
+        max_deleted: int | None = None,
+        max_deleted_frac: float | None = None,
+    ):
+        self.max_inserted = max_inserted
+        self.max_updated = max_updated
+        self.max_deleted = max_deleted
+        self.max_deleted_frac = max_deleted_frac
+        self.name = (
+            f"delta_bounds(ins<={max_inserted},upd<={max_updated},"
+            f"del<={max_deleted},del_frac<={max_deleted_frac})"
+        )
+        self._base_rows: int | None = None  # injected by publish
+
+    def named_exprs(self):
+        return [
+            (
+                f"__wap_ct_{t}",
+                F.count(F.when(F.col("_change_type") == t, 1)),
+            )
+            for t in ("insert", "update", "delete")
+        ]
+
+    def verdict(self, row):
+        ins = row["__wap_ct_insert"]
+        upd = row["__wap_ct_update"]
+        dele = row["__wap_ct_delete"]
+        problems = []
+        if self.max_inserted is not None and ins > self.max_inserted:
+            problems.append(f"{ins} inserts > {self.max_inserted}")
+        if self.max_updated is not None and upd > self.max_updated:
+            problems.append(f"{upd} updates > {self.max_updated}")
+        if self.max_deleted is not None and dele > self.max_deleted:
+            problems.append(f"{dele} deletes > {self.max_deleted}")
+        if self.max_deleted_frac is not None and self._base_rows:
+            frac = dele / self._base_rows
+            if frac > self.max_deleted_frac:
+                problems.append(
+                    f"deleted {frac:.3f} of {self._base_rows} base rows "
+                    f"> {self.max_deleted_frac}"
+                )
+        return (not problems, "; ".join(problems) or "ok")
+
+
 def run_audits(df: DataFrame, audits: list[Audit]) -> dict[str, str]:
     """Run all audits in ONE aggregation job; return {name: detail}
     for failures only (empty dict = all green)."""
@@ -265,7 +328,27 @@ class WapStage(LakeTable):
         if audits:
             if spark is None:
                 raise ValueError("publish(audits=...) needs a SparkSession")
-            report = run_audits(self.read(spark), audits)
+            state_audits = [
+                a for a in audits if not getattr(a, "wants_changes", False)
+            ]
+            change_audits = [
+                a for a in audits if getattr(a, "wants_changes", False)
+            ]
+            report = run_audits(self.read(spark), state_audits)
+            if change_audits:
+                base_rows = sum(
+                    (LakeTable.snapshot(self, self._base_version).get(
+                        "row_counts"
+                    ) or {}).values()
+                )
+                for a in change_audits:
+                    a._base_rows = base_rows
+                report.update(
+                    run_audits(
+                        self.read_changes(spark, self._base_version, tip),
+                        change_audits,
+                    )
+                )
             if report:
                 raise WapAuditError(report)
         main = LakeTable(self.path)

@@ -238,3 +238,43 @@ def test_runner_ingests_into_wap_stage(spark, tmp_path):
     apply_batch(control, generate_changes(spark, 500, 30, seed=16, lsn_start=-500))
     apply_batch(control, stream)
     assert _state(spark, table) == _state(spark, control)
+
+
+def test_change_audit_delta_bounds(spark, tmp_path):
+    """Change-level audits see the staged CHANGELOG: a stage that
+    deletes most of the table is refused by a deleted-fraction cap
+    that state audits cannot express; a modest stage passes."""
+    from oregonwaterdataportal_etl_spark.lake import DeltaBounds
+
+    table = _table(tmp_path)
+    apply_batch(table, generate_changes(
+        spark, 800, 20, seed=20, update_rate=0.0, delete_rate=0.0))
+    base_rows = table.read(spark).count()
+
+    # a "truncating" upstream: delete every base key
+    wipe = table.read(spark).select(
+        "conv_id", "turn_idx",
+        F.lit("user").alias("role"), F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("delete").alias("op"), (F.lit(10_000) + F.monotonically_increasing_id()).alias("lsn"),
+    )
+    stage = table.begin_wap("wipe")
+    apply_batch(stage, wipe)
+    with pytest.raises(WapAuditError) as exc:
+        stage.publish(spark, audits=[DeltaBounds(max_deleted_frac=0.5)])
+    assert "base rows" in str(exc.value)
+    stage.abort()
+
+    # a modest incremental stage passes the same audit
+    stage2 = table.begin_wap("ok")
+    apply_batch(stage2, generate_changes(
+        spark, 200, 20, seed=21, lsn_start=800, delete_rate=0.05))
+    v = stage2.publish(
+        spark,
+        audits=[
+            DeltaBounds(max_deleted_frac=0.5, max_inserted=base_rows),
+            UniqueKeys(["conv_id", "turn_idx"]),  # state + change mix
+        ],
+    )
+    assert v == table.current_version()
