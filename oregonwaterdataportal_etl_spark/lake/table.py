@@ -1626,6 +1626,75 @@ class LakeTable:
                 ]
         return files
 
+    def clone_to(self, dest: str, version: int | None = None) -> "LakeTable":
+        """Deep-copy one snapshot into a NEW independent table
+        (Iceberg snapshot-export analog — the dev-copy / share-a-
+        -version workflow). Data files are COPIED, so nothing the
+        source does afterwards (merges, compaction, vacuum) can touch
+        the clone, and vice versa. Schema, key columns, bucket
+        layout, dict encodings, tie-break family and commit mode
+        carry over; history does not — the clone's chain is
+        create(0) -> clone(1). MOR deltas and tombstones copy as-is,
+        so a cloned merge-on-read snapshot resolves identically.
+
+        Fails loudly if the requested version's files were already
+        vacuumed (same contract as rollback)."""
+        import shutil as _shutil
+
+        snap = self.snapshot(version)
+        missing = [f for f in self._snap_files(snap) if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"cannot clone version {snap['version']}: {len(missing)} "
+                f"data files already vacuumed (first: {missing[0]})"
+            )
+        clone = LakeTable.create(
+            dest,
+            T.StructType.fromJson(json.loads(snap["schema"])),
+            key_cols=snap["key_cols"],
+            num_buckets=snap["num_buckets"],
+            dict_cols=snap.get("dict_cols") or None,
+            tiebreak_family=snap.get("tiebreak_family", "xxhash64"),
+            commit_mode=snap.get("commit_mode", "pointer"),
+        )
+        copy_dir = os.path.join(clone.data_dir, f"clone-{uuid.uuid4().hex}")
+
+        def copy_map(m: dict) -> dict:
+            out: dict[str, list[str]] = {}
+            for b, fl in (m or {}).items():
+                dd = os.path.join(copy_dir, f"b={b}")
+                os.makedirs(dd, exist_ok=True)
+                new = []
+                for f in fl:
+                    dst = os.path.join(dd, f"{uuid.uuid4().hex}.parquet")
+                    _shutil.copy2(f, dst)
+                    new.append(dst)
+                out[b] = sorted(new)
+            return out
+
+        clone._commit(
+            {
+                "version": 1,
+                "parent": 0,
+                "schema": snap["schema"],
+                "key_cols": snap["key_cols"],
+                "num_buckets": snap["num_buckets"],
+                "dict_cols": snap.get("dict_cols", {}),
+                "tiebreak_family": snap.get("tiebreak_family", "xxhash64"),
+                "commit_mode": snap.get("commit_mode", "pointer"),
+                "files": copy_map(snap.get("files")),
+                "deltas": copy_map(snap.get("deltas")),
+                "tombstones": copy_map(snap.get("tombstones")),
+                "row_counts": dict(snap.get("row_counts", {})),
+                "summary": {
+                    "operation": "clone",
+                    "cloned_from": self.path,
+                    "cloned_version": snap["version"],
+                },
+            }
+        )
+        return clone
+
     def begin_wap(self, wap_id: str) -> "LakeTable":
         """Open (or re-attach to) a write-audit-publish stage: a
         LakeTable whose commits land on a private staged chain,

@@ -62,3 +62,31 @@ def test_timestamp_time_travel(spark, tmp_path):
         t.version_at(t.snapshot(0)["committed_at"] - 100)
     with pytest.raises(ValueError):
         t.read(spark, version=1, as_of=t_after_v1)
+
+
+def test_clone_is_deep_and_independent(spark, tmp_path):
+    """clone_to exports one snapshot as an independent table: the
+    cloned state (including MOR deltas + tombstones) resolves
+    identically, and source-side merge + zero-grace vacuum afterwards
+    cannot disturb it."""
+    t = _table(tmp_path)
+    apply_batch(t, generate_changes(spark, 600, 15, seed=5, delete_rate=0.2))
+    apply_batch(
+        t, generate_changes(spark, 300, 15, seed=6, lsn_start=600), mode="mor"
+    )
+    v = t.current_version()
+    want = sorted(map(tuple, t.read(spark).collect()))
+
+    clone = t.clone_to(str(tmp_path / "clone"), version=v)
+    assert sorted(map(tuple, clone.read(spark).collect())) == want
+    assert clone.snapshot()["summary"]["operation"] == "clone"
+    assert clone.snapshot()["summary"]["cloned_version"] == v
+
+    # source moves on and vacuums aggressively; the clone is untouched
+    apply_batch(t, generate_changes(spark, 300, 15, seed=7, lsn_start=900))
+    t.compact(spark)
+    t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert sorted(map(tuple, clone.read(spark).collect())) == want
+    # and the clone is writable on its own chain
+    apply_batch(clone, generate_changes(spark, 100, 15, seed=8, lsn_start=2000))
+    assert clone.current_version() == 2
