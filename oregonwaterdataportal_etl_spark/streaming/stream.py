@@ -173,11 +173,22 @@ def start_envelope_stream(
     json_options: dict | None = None,
     max_files_per_trigger: int | None = None,
     mode: str = "cow",
+    zero_exchange: bool = False,
+    wal_dir: str | None = None,
+    plan_log: list | None = None,
 ):
     """Tail a directory of raw change ENVELOPES (parquet files with a
     ``value`` string column — the shape a Kafka value column or a
     binlog-connector file dump lands in) through the full front-end:
     parse -> dead-letter quarantine -> transaction gate -> LWW merge.
+
+    ``zero_exchange=True`` routes each micro-batch's ready rows
+    through the bucketed-WAL + ``merge_prebucketed`` path (see
+    ``start_cdc_stream_zx``): the gate's window shuffle is then the
+    ONLY exchange in the whole pipeline — the WAL write aligns the
+    batch to the table's layout and the resolve itself runs with
+    zero Exchange. Requires ``wal_dir``; ``plan_log`` captures each
+    batch's executed resolve plan (test hook).
 
     Crash/replay discipline (Spark's file-source checkpoint replays a
     micro-batch with the SAME input files, so every derived frame is
@@ -208,6 +219,21 @@ def start_envelope_stream(
 
     from ..cdc.envelope import gate_transactions, parse_envelopes, split_dlq
     from ..cdc.manifests import batch_id_for_window
+
+    if zero_exchange:
+        if wal_dir is None:
+            raise ValueError("zero_exchange=True needs wal_dir")
+        if mode != "cow":
+            raise ValueError("zero_exchange applies to mode='cow'")
+        # start-of-stream sweep, same contract as start_cdc_stream_zx
+        if os.path.isdir(wal_dir):
+            for entry in os.listdir(wal_dir):
+                if entry.startswith("batch-"):
+                    shutil.rmtree(
+                        os.path.join(wal_dir, entry), ignore_errors=True
+                    )
+        zx_snap = table.snapshot()
+        zx_keys, zx_buckets = zx_snap["key_cols"], zx_snap["num_buckets"]
 
     src_reader = spark.readStream.schema("value string")
     if max_files_per_trigger is not None:
@@ -251,8 +277,20 @@ def start_envelope_stream(
             bid = batch_id_for_window("stream-env", bounds["lo"], bounds["hi"])
             if not manifests.is_committed(bid):
                 manifests.begin(bid, bounds["lo"], bounds["hi"])
-                result = table.merge(ready, mode=mode)
-                manifests.commit(bid, result.as_dict())
+                if zero_exchange:
+                    from ..lake.bucketed import write_bucketed_wal
+
+                    batch_dir = write_bucketed_wal(
+                        ready, wal_dir, zx_buckets, zx_keys
+                    )
+                    result = table.merge_prebucketed(
+                        sess, batch_dir, _plan_out=plan_log
+                    )
+                    manifests.commit(bid, result.as_dict())
+                    shutil.rmtree(batch_dir, ignore_errors=True)
+                else:
+                    result = table.merge(ready, mode=mode)
+                    manifests.commit(bid, result.as_dict())
         # sweep states older than the predecessor (kept for replay)
         try:
             for e in os.listdir(pending_dir):
