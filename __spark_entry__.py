@@ -1015,6 +1015,44 @@ def q_count_distinct(spark, sf):
     )
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary head: whitespace-token frequencies, top 100
+    with a deterministic (count desc, token asc) total order — the
+    first step of any tokenizer/vocab build. One explode + one
+    groupBy; the limit runs as TakeOrdered, no global sort."""
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def q_doc_length_deciles(spark, sf):
+    """Exact corpus length deciles (curriculum/filtering signal):
+    ntile(10) over a deterministic (length, doc_id) order, then
+    per-decile count and bounds — cross-engine identical because the
+    order is total."""
+    docs = _t(spark, sf, "documents")
+    w = Window.orderBy(F.length("text"), F.col("doc_id"))
+    return (
+        docs.select(
+            F.ntile(10).over(w).alias("decile"),
+            F.length("text").alias("len"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("len").alias("min_len"),
+            F.max("len").alias("max_len"),
+        )
+    )
+
+
 def _envelope_wire(spark, sf):
     """Deterministic Debezium-style wire traffic synthesized from the
     events table: op c/u/d per row (plus an invalid op every 997th
@@ -1189,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_roundtrip": q_envelope_roundtrip,
         "envelope_dlq": q_envelope_dlq,
         "txn_gate": q_txn_gate,
+        "vocab_topk": q_vocab_topk,
+        "doc_length_deciles": q_doc_length_deciles,
     }
 
 
@@ -1829,6 +1869,24 @@ def oracle_sql() -> dict[str, str]:
                            't' || cast(event_id // 4 AS varchar) AS txn_id
                     FROM events WHERE event_id % 13 != 0) t1) t2
             WHERE n >= 4
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS n FROM (
+              SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS token
+              FROM documents) t
+            WHERE token != ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 100
+        """,
+        "doc_length_deciles": """
+            SELECT decile, count(*) AS n,
+                   min(len) AS min_len, max(len) AS max_len
+            FROM (SELECT ntile(10) OVER (ORDER BY length(text), doc_id)
+                         AS decile,
+                         length(text) AS len
+                  FROM documents) t
+            GROUP BY decile
         """,
         "detect_lang": _detect_lang_sql(),
         "explode_roundtrip": """
