@@ -1033,20 +1033,45 @@ def q_vocab_topk(spark, sf):
 
 
 def q_doc_length_deciles(spark, sf):
-    """Exact corpus length deciles (curriculum/filtering signal):
-    ntile(10) over a deterministic (length, doc_id) order, then
-    per-decile count and bounds — cross-engine identical because the
-    order is total."""
+    """Exact corpus length deciles (curriculum/filtering signal),
+    ntile-equivalent WITHOUT a per-row global sort: a naive
+    ntile(10) OVER (ORDER BY ...) windows every row through ONE
+    partition — the classic scale antipattern. Instead the length
+    HISTOGRAM (groupBy length — the only row-scale shuffle) is
+    cumulated with a window over distinct lengths (tiny), and each
+    length's global rank interval is intersected with the ntile
+    bucket intervals arithmetically (first n%10 buckets get the
+    extra row, exactly ntile's remainder rule). Identical output to
+    the oracle's true ntile because the tie order (length, doc_id)
+    never splits equal lengths across interval arithmetic."""
     docs = _t(spark, sf, "documents")
-    w = Window.orderBy(F.length("text"), F.col("doc_id"))
+    hist = (
+        docs.select(F.length("text").alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").alias("m"))
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("c", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    total = cum.agg(F.sum("m").alias("n")).collect()[0]["n"]
+    q, r = divmod(int(total), 10)
+    # decile d occupies global ranks [lo_d, hi_d]
+    lo = [d * q + min(d, r) + 1 for d in range(10)]
+    hi = [lo[d] + q + (1 if d < r else 0) - 1 for d in range(10)]
+    bounds = spark.createDataFrame(
+        [(d + 1, lo[d], hi[d]) for d in range(10)], "decile int, lo long, hi long"
+    )
+    joined = cum.join(
+        F.broadcast(bounds),
+        (F.col("c") + 1 <= F.col("hi")) & (F.col("c") + F.col("m") >= F.col("lo")),
+    )
+    overlap = F.least(F.col("hi"), F.col("c") + F.col("m")) - F.greatest(
+        F.col("lo"), F.col("c") + 1
+    ) + 1
     return (
-        docs.select(
-            F.ntile(10).over(w).alias("decile"),
-            F.length("text").alias("len"),
-        )
+        joined.select("decile", "len", overlap.alias("k"))
         .groupBy("decile")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("k").alias("n"),
             F.min("len").alias("min_len"),
             F.max("len").alias("max_len"),
         )
