@@ -1626,6 +1626,56 @@ class LakeTable:
                 ]
         return files
 
+    def max_lsn(self, spark: SparkSession) -> int:
+        """Highest applied LSN across base, delta and tombstone files —
+        parquet-footer statistics only (cached per immutable file), no
+        Spark job. 0 for an empty table."""
+        snap = self.snapshot()
+        files: list[str] = []
+        for m in (snap.get("files"), snap.get("deltas"), snap.get("tombstones")):
+            for fl in (m or {}).values():
+                files.extend(fl)
+        if not files:
+            return 0
+        best = _files_max_lsn(files)
+        return best if best is not None else 0
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        lsn: int | None = None,
+    ) -> MergeResult:
+        """Bulk predicate delete (retention sweeps / GDPR erasure):
+        resolve the current state, project the KEYS of rows matching
+        ``condition`` (a Column or SQL string), and merge delete
+        events for them at an LSN above the table's maximum (footer
+        stats, no extra job), so the deletes win LWW everywhere and
+        leave tombstones that stop later stale events from
+        resurrecting the keys. One resolve + one ordinary merge; only
+        matching buckets rewrite. Idempotent: a second identical call
+        matches nothing."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        snap = self.snapshot()
+        if lsn is None:
+            lsn = self.max_lsn(spark) + 1
+        keys = (
+            self.read(spark)
+            .filter(condition)
+            .select(*[F.col(c) for c in snap["key_cols"]])
+        )
+        changes = keys.select(
+            "*",
+            F.lit("delete").alias("op"),
+            F.lit(lsn).cast("long").alias("lsn"),
+        )
+        # the keys frame derives from THIS table's current snapshot;
+        # localCheckpoint pins it so the merge's multiple evaluations
+        # cannot observe the table mid-rewrite (self-referential merge)
+        changes = changes.localCheckpoint(eager=True)
+        return self.merge(changes, _operation_label="delete-where")
+
     def clone_to(self, dest: str, version: int | None = None) -> "LakeTable":
         """Deep-copy one snapshot into a NEW independent table
         (Iceberg snapshot-export analog — the dev-copy / share-a-

@@ -90,3 +90,47 @@ def test_clone_is_deep_and_independent(spark, tmp_path):
     # and the clone is writable on its own chain
     apply_batch(clone, generate_changes(spark, 100, 15, seed=8, lsn_start=2000))
     assert clone.current_version() == 2
+
+
+def test_delete_where_retention_sweep(spark, tmp_path):
+    """Bulk predicate delete: matching keys go, tombstones block
+    resurrection by stale lower-LSN events, and the sweep is
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    t = _table(tmp_path)
+    apply_batch(t, generate_changes(spark, 600, 15, seed=9, delete_rate=0.0))
+    before = t.read(spark)
+    n_before = before.count()
+    n_user = before.filter(F.col("role") == "user").count()
+    assert 0 < n_user < n_before
+
+    res = t.delete_where(spark, F.col("role") == "user")
+    assert res.rows_deleted == n_user
+    assert t.snapshot()["summary"]["operation"] == "delete-where"
+    after = t.read(spark)
+    assert after.count() == n_before - n_user
+    assert after.filter(F.col("role") == "user").count() == 0
+
+    # idempotent
+    res2 = t.delete_where(spark, "role = 'user'")
+    assert res2.rows_deleted == 0
+
+    # a stale replay (low LSN) of a deleted key cannot resurrect it
+    victim = before.filter(F.col("role") == "user").limit(1).collect()[0]
+    stale = spark.createDataFrame(
+        [(victim["conv_id"], victim["turn_idx"], "user", "ghost", None, None,
+          "insert", 0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string, lsn long",
+    )
+    apply_batch(t, stale)
+    assert (
+        t.read(spark)
+        .filter(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .count()
+        == 0
+    )
