@@ -1,6 +1,7 @@
 from .bucketed import register_bucketed_table, write_bucketed_wal
 from .incremental import AggSpec, IncrementalAggView
 from .maintenance import MaintenancePolicy, maintain, plan_maintenance
+from .partitioned import PartitionedLakeTable, PartitionedMergeResult
 from .table import LakeTable, MergeResult
 from .wap import (
     Audit,
@@ -22,6 +23,8 @@ __all__ = [
     "IncrementalAggView",
     "LakeTable",
     "MergeResult",
+    "PartitionedLakeTable",
+    "PartitionedMergeResult",
     "MaintenancePolicy",
     "maintain",
     "plan_maintenance",

@@ -1,0 +1,672 @@
+"""PartitionedLakeTable — a second, time-valued partition dimension
+over LakeTable: ``days(ts) x bucket(N, key)``, the Iceberg
+partition-spec shape (``PARTITIONED BY (days(ts), bucket(N, id))``).
+
+Why a second dimension at 100 TB: the bucket-only layout spreads keys
+uniformly, so EVERY merge touches every hot bucket's full history and
+retention must rewrite files (``delete_where``). With a leading
+time partition, a CDC batch whose events span the last two days opens
+two partitions' buckets — merge cost scales with the ACTIVE time
+range, not table age — and retention becomes a metadata-only
+whole-partition drop (the economics ``delete_where`` cannot offer:
+zero rewrite, files reaped later by vacuum, exactly Iceberg's
+``DROP PARTITION`` + ``expire_snapshots`` split).
+
+Design: each day partition is an independent ``LakeTable`` (every
+measured merge / MOR / compact / changelog / tombstone mechanism
+reused verbatim), and a ROOT versioned manifest pins a per-partition
+version VECTOR ``{day: child_version}``. Root commits go through the
+same ``versioned_commit`` discipline as everything else, so:
+
+- a root read at version V reads every child at its PINNED version —
+  snapshot-consistent across partitions even while writers advance
+  individual children;
+- a crash between child merges and the root commit leaves readers on
+  the old consistent vector; the replayed window re-merges (the LSN
+  guard makes applied children no-ops) and pins the final vector;
+- concurrent writers to DIFFERENT partitions both succeed: the root
+  commit retries through ``CommitConflictError`` by re-reading and
+  max-merging version vectors (children are monotone, so max is the
+  correct join).
+
+Routing contract (Hudi's NON-GLOBAL index semantics, the scalable
+choice): the partition column is an attribute of the ROW'S IDENTITY —
+the same key in two different partitions is two different rows, and
+delete events must carry the partition column. A "global index"
+(key unique across all partitions, updates may move rows between
+partitions) requires an all-partition key lookup per batch and is
+deliberately not offered; model mutable-time entities by keying on
+(entity, day) downstream instead.
+
+Reference analog: the reference scopes every harvest to a
+station/dataset perimeter and prunes work to the touched perimeter
+(userCode/awqms/dag.py per-station partitions; SURVEY.md 2.1 S6);
+this generalizes that to a first-class time dimension on the lake.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .table import (
+    LakeTable,
+    latest_manifest_version,
+    retry_on_conflict,
+    versioned_commit,
+)
+
+_TRANSFORMS = ("days", "months", "identity")
+# identity partition values become directory names; keep them safe
+_SAFE_VALUE = re.compile(r"^[A-Za-z0-9._\-]{1,128}$")
+
+
+@dataclass
+class PartitionedMergeResult:
+    """Aggregate of one multi-partition MERGE: the new ROOT version,
+    per-partition child results, and summed row counters (north_rule:
+    per-partition lineage and row-count metrics, here literally)."""
+
+    version: int
+    partitions: dict[str, dict] = field(default_factory=dict)
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    rows_noop: int = 0
+    rows_dropped: int = 0
+    rows_delta: int = 0
+
+    def as_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "rows_inserted": self.rows_inserted,
+            "rows_updated": self.rows_updated,
+            "rows_deleted": self.rows_deleted,
+            "rows_noop": self.rows_noop,
+            "rows_dropped": self.rows_dropped,
+            "rows_delta": self.rows_delta,
+            "partitions": self.partitions,
+        }
+
+
+class PartitionedLakeTable:
+    """Directory layout::
+
+        <root>/_meta/snap-NNNNNNNN.json   root manifests (version vector)
+        <root>/_meta/CURRENT              pointer (pointer commit mode)
+        <root>/p=<value>/                 one LakeTable per partition
+
+    ``<value>`` is the transform output: ``yyyy-MM-dd`` for days,
+    ``yyyy-MM`` for months, the raw string for identity. All values
+    sort lexicographically in time order, so range pruning is a plain
+    string comparison against the manifest's partition list — no data
+    I/O to plan a time-sliced read.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+
+    # ---------------------------------------------------------- meta
+    @property
+    def _current_ptr(self) -> str:
+        return os.path.join(self.meta_dir, "CURRENT")
+
+    def exists(self) -> bool:
+        return (
+            os.path.exists(self._current_ptr)
+            or latest_manifest_version(self.meta_dir, "snap-") is not None
+        )
+
+    def current_version(self) -> int:
+        try:
+            with open(self._current_ptr) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            v = latest_manifest_version(self.meta_dir, "snap-")
+            if v is None:
+                raise
+            return v
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"snap-{v:08d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snap-"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def version_at(self, timestamp: float) -> int:
+        """Timestamp time travel on the ROOT chain (same contract as
+        LakeTable.version_at; the stamp is set by versioned_commit)."""
+        current = self.current_version()
+        best = None
+        for snap in self.history():
+            ts = snap.get("committed_at")
+            if (
+                snap["version"] <= current
+                and ts is not None
+                and ts <= timestamp
+                and (best is None or snap["version"] > best)
+            ):
+                best = snap["version"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {timestamp} "
+                f"(table created later, or that history was vacuumed)"
+            )
+        return best
+
+    def schema(self) -> T.StructType:
+        """User-visible schema (same shape as LakeTable.schema())."""
+        return T.StructType.fromJson(json.loads(self.snapshot()["schema"]))
+
+    def _commit(self, snap: dict) -> None:
+        snap.pop("committed_at", None)  # fresh stamp per root commit
+        pointer = None if snap.get("commit_mode") == "rename-free" else "CURRENT"
+        versioned_commit(
+            self.meta_dir,
+            f"snap-{snap['version']:08d}.json",
+            snap["version"],
+            snap,
+            pointer_name=pointer,
+        )
+
+    def _commit_root(self, mutate) -> dict:
+        """Commit-with-retry: ``mutate(snap) -> snap`` is re-applied to
+        a FRESH read of the root on every conflict, so two writers
+        touching different partitions both land (their vector updates
+        compose — children are monotone, mutate pins current child
+        versions)."""
+
+        def attempt():
+            snap = self.snapshot()
+            new = mutate(dict(snap))
+            new["version"] = snap["version"] + 1
+            new["parent"] = snap["version"]
+            self._commit(new)
+            return new
+
+        return retry_on_conflict(attempt)
+
+    # ------------------------------------------------------ children
+    def partition_dir(self, value: str) -> str:
+        return os.path.join(self.path, f"p={value}")
+
+    def partition_table(self, value: str) -> LakeTable:
+        return LakeTable(self.partition_dir(value))
+
+    def _ensure_partition(self, value: str, snap: dict) -> LakeTable:
+        child = self.partition_table(value)
+        if not child.exists():
+            self._create_child(child, snap)
+        return child
+
+    @staticmethod
+    def _create_child(child: LakeTable, snap: dict) -> None:
+        try:
+            LakeTable.create(
+                child.path,
+                T.StructType.fromJson(json.loads(snap["schema"])),
+                key_cols=snap["key_cols"],
+                num_buckets=snap["num_buckets"],
+                dict_cols=snap.get("dict_cols") or None,
+                tiebreak_family=snap.get("tiebreak_family", "xxhash64"),
+                commit_mode=snap.get("commit_mode", "pointer"),
+            )
+        except ValueError:
+            # two writers raced to create the same partition: losing
+            # is fine as long as the winner finished (same
+            # tolerate-concurrent-duplicate-create semantics as the
+            # reference, userCode/wrd/test_frost.py:28-53)
+            if not child.exists():
+                raise
+
+    def _partition_expr(self, snap: dict | None = None):
+        snap = snap or self.snapshot()
+        c, tr = snap["partition_col"], snap["transform"]
+        if tr == "days":
+            return F.date_format(F.col(c).cast("timestamp"), "yyyy-MM-dd")
+        if tr == "months":
+            return F.date_format(F.col(c).cast("timestamp"), "yyyy-MM")
+        return F.col(c).cast("string")
+
+    # ---------------------------------------------------------- DDL
+    @staticmethod
+    def create(
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        partition_col: str,
+        transform: str = "days",
+        num_buckets: int = 16,
+        dict_cols: dict[str, list[str]] | None = None,
+        tiebreak_family: str = "xxhash64",
+        commit_mode: str = "pointer",
+    ) -> "PartitionedLakeTable":
+        if transform not in _TRANSFORMS:
+            raise ValueError(f"unknown transform {transform!r}; one of {_TRANSFORMS}")
+        names = {f.name: f for f in schema.fields}
+        if partition_col not in names:
+            raise ValueError(f"partition_col {partition_col!r} not in schema")
+        if transform in ("days", "months") and not isinstance(
+            names[partition_col].dataType, (T.TimestampType, T.DateType, T.LongType)
+        ):
+            raise ValueError(
+                f"{transform} transform needs a timestamp/date column, "
+                f"got {names[partition_col].dataType}"
+            )
+        if transform == "identity" and not isinstance(
+            names[partition_col].dataType, T.StringType
+        ):
+            raise ValueError("identity transform needs a string column")
+        t = PartitionedLakeTable(path)
+        if t.exists():
+            raise ValueError(f"table already exists at {path}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        versioned_commit(
+            t.meta_dir,
+            "snap-00000000.json",
+            0,
+            {
+                "version": 0,
+                "parent": None,
+                "schema": json.dumps(schema.jsonValue()),
+                "key_cols": key_cols,
+                "partition_col": partition_col,
+                "transform": transform,
+                "num_buckets": num_buckets,
+                "dict_cols": dict_cols or {},
+                "tiebreak_family": tiebreak_family,
+                "commit_mode": commit_mode,
+                "partitions": {},
+                "summary": {"operation": "create"},
+            },
+            pointer_name=None if commit_mode == "rename-free" else "CURRENT",
+        )
+        return t
+
+    # --------------------------------------------------------- write
+    def merge(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        mode: str = "cow",
+        **merge_kwargs,
+    ) -> PartitionedMergeResult:
+        """Route the batch to its partitions and MERGE each slice.
+
+        One cheap routing pass (groupBy the transform expression —
+        the exact analog of LakeTable's touched-bucket scan) finds the
+        touched partitions; at steady state that is 1-2 recent days,
+        so apply cost is O(active days' touched buckets) regardless of
+        how many years the table holds. Null partition values are an
+        ERROR — an unroutable event must fail loudly, not land in a
+        default partition where retention would never find it.
+        """
+        snap = self.snapshot()
+        pexpr = self._partition_expr(snap)
+        pstats = updates.groupBy(pexpr.alias("__p")).count().collect()
+        if any(r["__p"] is None for r in pstats):
+            n = sum(r["count"] for r in pstats if r["__p"] is None)
+            raise ValueError(
+                f"{n} update rows have a null/invalid {snap['partition_col']!r}; "
+                "change events must carry a routable partition value"
+            )
+        values = sorted(r["__p"] for r in pstats)
+        if snap["transform"] == "identity":
+            bad = [v for v in values if not _SAFE_VALUE.match(v)]
+            if bad:
+                raise ValueError(f"unsafe identity partition values: {bad[:5]}")
+        if len(values) > 1:
+            # each partition filters the batch once; pin the batch so a
+            # non-deterministic source can't route a row twice (and the
+            # source isn't re-scanned per partition)
+            updates = updates.localCheckpoint(eager=True)
+        out = PartitionedMergeResult(version=-1)
+        pinned: dict[str, int] = {}
+        for v in values:
+            child = self._ensure_partition(v, snap)
+            res = child.merge(
+                updates.filter(pexpr == F.lit(v)),
+                op_col=op_col,
+                lsn_col=lsn_col,
+                mode=mode,
+                **merge_kwargs,
+            )
+            pinned[v] = res.version
+            out.partitions[v] = res.as_dict()
+            for k in ("rows_inserted", "rows_updated", "rows_deleted",
+                      "rows_noop", "rows_dropped", "rows_delta"):
+                setattr(out, k, getattr(out, k) + getattr(res, k))
+
+        # root schema evolves additively with its children: append any
+        # field a touched child now carries that the root hasn't seen
+        # (child evolution is append-only, so name-union preserves order)
+        evolved_fields = {}
+        for v in values:
+            # public schema only — engine columns (_lsn, tie limbs) must
+            # never leak into the root payload schema
+            for f in self.partition_table(v).schema().fields:
+                evolved_fields.setdefault(f.name, f)
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            for v, ver in pinned.items():
+                # max-merge: a concurrent writer may have advanced the
+                # child past our pin; the vector must stay monotone
+                parts[v] = max(ver, parts.get(v, -1))
+            s["partitions"] = parts
+            root_schema = T.StructType.fromJson(json.loads(s["schema"]))
+            have = {f.name for f in root_schema.fields}
+            new = [f for n, f in evolved_fields.items() if n not in have]
+            if new:
+                s["schema"] = json.dumps(
+                    T.StructType(root_schema.fields + new).jsonValue()
+                )
+            s["summary"] = {
+                "operation": "merge",
+                "mode": mode,
+                "touched_partitions": values,
+                **{k: getattr(out, k) for k in (
+                    "rows_inserted", "rows_updated", "rows_deleted",
+                    "rows_noop", "rows_dropped", "rows_delta")},
+            }
+            return s
+
+        out.version = self._commit_root(mutate)["version"]
+        return out
+
+    # ---------------------------------------------------------- read
+    def partitions(self, version: int | None = None) -> dict[str, int]:
+        """The pinned version vector at a root snapshot."""
+        return dict(self.snapshot(version).get("partitions") or {})
+
+    def _select_values(
+        self,
+        vector: dict[str, int],
+        between: tuple[str, str] | None,
+        values: list[str] | None,
+    ) -> list[str]:
+        out = sorted(vector)
+        if values is not None:
+            want = set(values)
+            out = [v for v in out if v in want]
+        if between is not None:
+            lo, hi = between
+            out = [v for v in out if (lo is None or v >= lo) and (hi is None or v <= hi)]
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        between: tuple[str, str] | None = None,
+        values: list[str] | None = None,
+        columns: list[str] | None = None,
+        resolve: str = "window",
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent read: every child at its PINNED version.
+
+        ``between=(lo, hi)`` / ``values=[...]`` prune whole partitions
+        from the MANIFEST (string compare on transform values — no
+        file listing, no data I/O for excluded days). The partition
+        filter composes with each child's own bucket/file pruning.
+        """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(as_of)
+        snap = self.snapshot(self.current_version() if version is None else version)
+        vector = snap.get("partitions") or {}
+        chosen = self._select_values(vector, between, values)
+        frames = [
+            self.partition_table(v).read(
+                spark, version=vector[v], columns=columns, resolve=resolve
+            )
+            for v in chosen
+        ]
+        if not frames:
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            if columns is not None:
+                schema = T.StructType([f for f in schema.fields if f.name in columns])
+            return spark.createDataFrame([], schema)
+        # allowMissingColumns: additive schema evolution lands in a
+        # child when a batch touches it, so siblings can trail — their
+        # missing columns read as null, exactly like old files inside
+        # one LakeTable
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
+        """Root-level incremental changelog: diff the two version
+        VECTORS, emit each changed child's own read_changes (cost
+        scales with changed partitions, not table age). A partition
+        present in from and absent in to was DROPPED by retention: its
+        net surviving rows are emitted as deletes (each carrying its
+        own commit LSN via the child's from-zero changelog) — the
+        Iceberg changelog-scan contract for dropped partitions, so a
+        downstream replica converges through retention sweeps too."""
+        v2 = self.current_version() if to_version is None else to_version
+        vec1 = {} if from_version == 0 else (
+            self.snapshot(from_version).get("partitions") or {}
+        )
+        vec2 = self.snapshot(v2).get("partitions") or {}
+        frames: list[DataFrame] = []
+        for v in sorted(set(vec1) | set(vec2)):
+            child = self.partition_table(v)
+            if v in vec1 and v in vec2:
+                if vec1[v] != vec2[v]:
+                    frames.append(
+                        child.read_changes(
+                            spark, vec1[v], vec2[v],
+                            include_preimages=include_preimages,
+                        )
+                    )
+            elif v in vec2:
+                frames.append(
+                    child.read_changes(
+                        spark, 0, vec2[v], include_preimages=include_preimages
+                    )
+                )
+            else:
+                net = child.read_changes(spark, 0, vec1[v])
+                frames.append(
+                    net.filter(F.col("_change_type") != "delete").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+        if not frames:
+            schema = T.StructType.fromJson(json.loads(self.snapshot(v2)["schema"]))
+            schema = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_lsn", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame([], schema)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
+    # ----------------------------------------------------- retention
+    def drop_partitions(
+        self,
+        before: str | None = None,
+        values: list[str] | None = None,
+    ) -> list[str]:
+        """Metadata-only retention: remove partitions from the root
+        vector (``before`` = all values strictly below, lexicographic =
+        chronological for days/months). O(1) per partition — NO data
+        rewrite, NO per-row tombstones; time travel to pre-drop root
+        versions still works, and vacuum() reaps the unreferenced
+        child directories later. This is the retention ECONOMICS
+        ``delete_where`` can't offer (it rewrites surviving buckets)."""
+        if (before is None) == (values is None):
+            raise ValueError("pass exactly one of before= / values=")
+        snap = self.snapshot()
+        vector = snap.get("partitions") or {}
+        if before is not None:
+            dropped = sorted(v for v in vector if v < before)
+        else:
+            dropped = sorted(v for v in vector if v in set(values))
+        if not dropped:
+            return []
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            for v in dropped:
+                parts.pop(v, None)
+            s["partitions"] = parts
+            s["summary"] = {"operation": "drop_partitions", "dropped": dropped}
+            return s
+
+        self._commit_root(mutate)
+        return dropped
+
+    def vacuum(self, keep_last: int = 1, orphan_grace_seconds: float = 86400.0) -> int:
+        """Two-level GC. (1) Child directories referenced by NO
+        retained root manifest are removed whole (the dropped-partition
+        reap). (2) Live children vacuum their own history, keeping
+        every version any retained root manifest pins (so root time
+        travel within keep_last stays valid). (3) Expired root
+        manifests are deleted. Returns files+dirs removed."""
+        current = self.current_version()
+        history = self.history()
+        kept = [s for s in history if s["version"] > current - keep_last]
+        expired = [s for s in history if s["version"] <= current - keep_last]
+        removed = 0
+        # which children, and which child versions, do retained roots pin?
+        pinned: dict[str, list[int]] = {}
+        for s in kept:
+            for v, ver in (s.get("partitions") or {}).items():
+                pinned.setdefault(v, []).append(ver)
+        import time as _time
+
+        now = _time.time()
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("p="):
+                continue
+            value = name[2:]
+            full = os.path.join(self.path, name)
+            if value not in pinned:
+                # unreferenced by every retained root: provably dropped
+                # (or an in-flight creator — age-gate via the child's
+                # own meta mtime, same contract as LakeTable.vacuum)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= orphan_grace_seconds or any(
+                    value in (s.get("partitions") or {}) for s in expired
+                ):
+                    removed += sum(len(fs) for _, _, fs in os.walk(full))
+                    shutil.rmtree(full, ignore_errors=True)
+                continue
+            child = self.partition_table(value)
+            child_current = child.current_version()
+            keep_child = child_current - min(pinned[value]) + 1
+            removed += child.vacuum(
+                keep_last=max(1, keep_child),
+                orphan_grace_seconds=orphan_grace_seconds,
+            )
+        for s in expired:
+            p = os.path.join(self.meta_dir, f"snap-{s['version']:08d}.json")
+            try:
+                os.unlink(p)
+                removed += 1
+            except OSError:
+                pass
+        return removed
+
+    # -------------------------------------------------- maintenance
+    def _fanout(self, label: str, fn) -> dict[str, int]:
+        """Run ``fn(child) -> int`` over live partitions and pin the
+        resulting child versions in one root commit."""
+        snap = self.snapshot()
+        vector = snap.get("partitions") or {}
+        counts: dict[str, int] = {}
+        pinned: dict[str, int] = {}
+        for v in sorted(vector):
+            child = self.partition_table(v)
+            counts[v] = fn(child)
+            pinned[v] = child.current_version()
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            for v, ver in pinned.items():
+                if v in parts:
+                    parts[v] = max(ver, parts[v])
+            s["partitions"] = parts
+            s["summary"] = {"operation": label, "counts": counts}
+            return s
+
+        if any(pinned[v] != vector.get(v) for v in pinned):
+            self._commit_root(mutate)
+        return counts
+
+    def compact(self, spark: SparkSession, **kw) -> int:
+        return sum(self._fanout("compact", lambda c: c.compact(spark, **kw)).values())
+
+    def expire_tombstones(self, spark: SparkSession, below_lsn: int | None = None,
+                          offsets=None) -> int:
+        return sum(
+            self._fanout(
+                "expire_tombstones",
+                lambda c: c.expire_tombstones(spark, below_lsn=below_lsn,
+                                              offsets=offsets),
+            ).values()
+        )
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int, **kw) -> int:
+        rows = self._fanout(
+            "rebucket", lambda c: c.rebucket(spark, new_num_buckets, **kw)
+        )
+
+        def mutate(s):
+            s["num_buckets"] = new_num_buckets
+            s["summary"] = {"operation": "rebucket", "num_buckets": new_num_buckets}
+            return s
+
+        self._commit_root(mutate)
+        return sum(rows.values())
+
+    def max_lsn(self, spark: SparkSession) -> int:
+        vector = self.partitions()
+        if not vector:
+            return 0
+        return max(
+            self.partition_table(v).max_lsn(spark) for v in vector
+        )
+
+    def stats(self) -> dict:
+        vector = self.partitions()
+        per = {v: self.partition_table(v).stats() for v in sorted(vector)}
+        return {
+            "version": self.current_version(),
+            "num_partitions": len(vector),
+            "partitions": per,
+        }

@@ -1,0 +1,302 @@
+"""PartitionedLakeTable: days(ts) x bucket(key) — routing, pruning,
+snapshot-consistent vector reads, retention drops, changelog, runner
+integration."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oregonwaterdataportal_etl_spark.lake import (
+    LakeTable,
+    PartitionedLakeTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _ts(day: int, hour: int = 0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def _events(spark, rows):
+    """rows: (id, day, lsn, op, v)"""
+    return spark.createDataFrame(
+        [Row(id=i, ts=_ts(d), lsn=lsn, op=op, v=v) for i, d, lsn, op, v in rows],
+        T.StructType(
+            SCHEMA.fields[:2]
+            + [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+
+
+def _create(tmp_path, **kw):
+    return PartitionedLakeTable.create(
+        str(tmp_path / "pt"), SCHEMA, key_cols=["id"],
+        partition_col="ts", num_buckets=4, **kw,
+    )
+
+
+def _state(t, spark, **kw):
+    return {
+        (r["id"], r["ts"].day): r["v"]
+        for r in t.read(spark, **kw).collect()
+    }
+
+
+def test_merge_routes_and_reads_back(spark, tmp_path):
+    t = _create(tmp_path)
+    res = t.merge(_events(spark, [
+        (1, 1, 10, "insert", "a"),
+        (2, 1, 11, "insert", "b"),
+        (1, 2, 12, "insert", "c"),   # same key, different day = DIFFERENT row
+        (3, 3, 13, "insert", "d"),
+    ]))
+    assert res.rows_inserted == 4
+    assert sorted(res.partitions) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert _state(t, spark) == {
+        (1, 1): "a", (2, 1): "b", (1, 2): "c", (3, 3): "d",
+    }
+    # LWW update + delete route to the right day
+    t.merge(_events(spark, [
+        (1, 1, 20, "update", "a2"),
+        (2, 1, 5, "update", "stale"),   # lower LSN than base -> no-op
+        (3, 3, 21, "delete", None),
+    ]))
+    assert _state(t, spark) == {(1, 1): "a2", (2, 1): "b", (1, 2): "c"}
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    v_day2 = t.partitions()["2024-01-02"]
+    t.merge(_events(spark, [(1, 1, 3, "update", "a2")]))
+    # day-2 child untouched: pinned version unchanged
+    assert t.partitions()["2024-01-02"] == v_day2
+
+
+def test_read_partition_pruning_is_metadata_only(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [
+        (1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b"),
+        (3, 3, 3, "insert", "c"), (4, 4, 4, "insert", "d"),
+    ]))
+    pruned = t.read(spark, between=("2024-01-02", "2024-01-03"))
+    files = pruned.inputFiles()
+    assert files, "expected a parquet-backed plan"
+    assert all(("p=2024-01-02" in f) or ("p=2024-01-03" in f) for f in files)
+    assert {r["id"] for r in pruned.collect()} == {2, 3}
+    # values= list form
+    only4 = t.read(spark, values=["2024-01-04"])
+    assert {r["id"] for r in only4.collect()} == {4}
+
+
+def test_root_snapshot_consistency_time_travel(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    v1 = t.current_version()
+    t.merge(_events(spark, [(1, 1, 3, "update", "a2"), (3, 2, 4, "insert", "c")]))
+    # old root version = old vector = pre-merge state in EVERY partition
+    assert _state(t, spark, version=v1) == {(1, 1): "a", (2, 2): "b"}
+    assert _state(t, spark) == {(1, 1): "a2", (2, 2): "b", (3, 2): "c"}
+    # timestamp time travel rides the same committed_at stamps
+    ts1 = t.snapshot(v1)["committed_at"]
+    assert t.version_at(ts1) == v1
+
+
+def test_null_partition_value_is_an_error(spark, tmp_path):
+    t = _create(tmp_path)
+    bad = spark.createDataFrame(
+        [Row(id=1, ts=None, lsn=1, op="insert", v="a")],
+        _events(spark, [(1, 1, 1, "insert", "a")]).schema,
+    )
+    with pytest.raises(ValueError, match="null"):
+        t.merge(bad)
+
+
+def test_idempotent_replay(spark, tmp_path):
+    t = _create(tmp_path)
+    batch = [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]
+    t.merge(_events(spark, batch))
+    before = _state(t, spark)
+    res = t.merge(_events(spark, batch))  # replay: LSN guard no-ops
+    assert _state(t, spark) == before
+    assert res.rows_inserted == 0
+
+
+def test_drop_partitions_metadata_only_then_vacuum(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [
+        (1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b"),
+        (3, 3, 3, "insert", "c"),
+    ]))
+    v_pre = t.current_version()
+    dropped = t.drop_partitions(before="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    assert _state(t, spark) == {(3, 3): "c"}
+    # metadata-only: the child dirs still exist (time travel works)
+    assert os.path.isdir(t.partition_dir("2024-01-01"))
+    assert _state(t, spark, version=v_pre) == {
+        (1, 1): "a", (2, 2): "b", (3, 3): "c",
+    }
+    # vacuum with keep_last=1 reaps the dropped children
+    removed = t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert removed > 0
+    assert not os.path.isdir(t.partition_dir("2024-01-01"))
+    assert not os.path.isdir(t.partition_dir("2024-01-02"))
+    assert os.path.isdir(t.partition_dir("2024-01-03"))
+    assert _state(t, spark) == {(3, 3): "c"}
+
+
+def test_drop_noop_when_nothing_matches(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 5, 1, "insert", "a")]))
+    v = t.current_version()
+    assert t.drop_partitions(before="2024-01-01") == []
+    assert t.current_version() == v  # no empty commit
+
+
+def test_read_changes_vector_diff(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    v1 = t.current_version()
+    t.merge(_events(spark, [
+        (1, 1, 3, "update", "a2"),          # changed partition
+        (3, 3, 4, "insert", "c"),           # NEW partition
+    ]))
+    ch = {
+        (r["id"], r["_change_type"]): r["v"]
+        for r in t.read_changes(spark, v1).collect()
+    }
+    # day-2 untouched -> contributes nothing; update + insert emitted
+    assert ch == {(1, "update"): "a2", (3, "insert"): "c"}
+
+
+def test_read_changes_through_partition_drop_emits_deletes(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [
+        (1, 1, 1, "insert", "a"), (2, 1, 2, "insert", "b"),
+        (3, 2, 3, "insert", "c"),
+        (2, 1, 4, "delete", None),  # already gone pre-drop: must NOT reappear
+    ]))
+    v1 = t.current_version()
+    t.drop_partitions(before="2024-01-02")
+    rows = t.read_changes(spark, v1).collect()
+    assert {(r["id"], r["_change_type"]) for r in rows} == {(1, "delete")}
+    # each delete carries the dropped row's own commit lsn
+    assert rows[0]["_commit_lsn"] == 1
+
+
+def test_mor_mode_and_compact_fanout(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    t.merge(_events(spark, [
+        (1, 1, 3, "update", "a2"), (2, 2, 4, "delete", None),
+    ]), mode="mor")
+    assert _state(t, spark) == {(1, 1): "a2"}  # MOR read-path resolve
+    t.compact(spark)
+    assert _state(t, spark) == {(1, 1): "a2"}
+    # deltas folded everywhere
+    for v in t.partitions():
+        assert not t.partition_table(v).snapshot().get("deltas")
+
+
+def test_rebucket_fanout_updates_root_config(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(i, 1 + i % 2, i, "insert", f"v{i}") for i in range(1, 9)]))
+    before = _state(t, spark)
+    t.rebucket(spark, 8)
+    assert t.snapshot()["num_buckets"] == 8
+    assert _state(t, spark) == before
+    # new partitions created after the rebucket use the new count
+    t.merge(_events(spark, [(100, 9, 100, "insert", "x")]))
+    assert t.partition_table("2024-01-09").snapshot()["num_buckets"] == 8
+
+
+def test_identity_transform_and_validation(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tenant", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = PartitionedLakeTable.create(
+        str(tmp_path / "ident"), schema, key_cols=["id"],
+        partition_col="tenant", transform="identity", num_buckets=2,
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, tenant="acme", lsn=1, op="insert", v="a"),
+         Row(id=1, tenant="globex", lsn=2, op="insert", v="b")],
+    )
+    t.merge(df)
+    assert sorted(t.partitions()) == ["acme", "globex"]
+    bad = spark.createDataFrame([Row(id=2, tenant="../evil", lsn=3,
+                                     op="insert", v="x")])
+    with pytest.raises(ValueError, match="unsafe"):
+        t.merge(bad)
+
+
+def test_create_validation(tmp_path):
+    with pytest.raises(ValueError, match="not in schema"):
+        PartitionedLakeTable.create(
+            str(tmp_path / "x"), SCHEMA, ["id"], partition_col="nope")
+    with pytest.raises(ValueError, match="timestamp"):
+        PartitionedLakeTable.create(
+            str(tmp_path / "y"), SCHEMA, ["id"], partition_col="v")
+
+
+def test_cdc_runner_drop_in(spark, tmp_path):
+    """The runner drives a PartitionedLakeTable unchanged: windows,
+    duplicate-batch no-op replay, compact cadence."""
+    from oregonwaterdataportal_etl_spark.cdc import CdcRunner, ManifestLog, OffsetLog
+
+    t = _create(tmp_path)
+    events = _events(spark, [
+        (1, 1, 1, "insert", "a"),
+        (2, 2, 2, "insert", "b"),
+        (1, 1, 3, "update", "a2"),
+        (2, 2, 4, "delete", None),
+        (3, 3, 5, "insert", "c"),
+    ]).localCheckpoint(eager=True)
+    runner = CdcRunner(
+        table=t,
+        offsets=OffsetLog(str(tmp_path / "off"), "src"),
+        manifests=ManifestLog(str(tmp_path / "man")),
+        source=lambda: events,
+        mode="mor",
+        compact_every=2,
+    )
+    runner.run_window(1, 2)
+    runner.run_window(3, 5)
+    assert runner.run_window(3, 5) is None  # replay -> committed no-op
+    assert _state(t, spark) == {(1, 1): "a2", (3, 3): "c"}
+    for v in t.partitions():
+        assert not t.partition_table(v).snapshot().get("deltas")
+
+
+def test_schema_evolution_reaches_every_partition(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    widened = _events(spark, [(3, 1, 3, "insert", "c")]).withColumn(
+        "extra", F.lit(7).cast("int")
+    )
+    t.merge(widened)
+    out = t.read(spark)
+    assert "extra" in out.columns
+    vals = {r["id"]: r["extra"] for r in out.collect()}
+    # old rows (day-1 pre-evolution AND untouched day-2) read as null
+    assert vals == {1: None, 2: None, 3: 7}
