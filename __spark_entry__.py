@@ -243,6 +243,79 @@ def q_cdc_mixed_mode(spark, sf):
     return out
 
 
+def q_cdc_partitioned(spark, sf):
+    """The TIME-PARTITIONED engine under the driver's value gate: the
+    events stream becomes a change log (key (user_id, k), lsn =
+    event_id, 'error' = delete) applied to a PartitionedLakeTable —
+    days(ts) x bucket(key), each day an independent child table, root
+    version-vector commits — in two halves (COW, then merge-on-read +
+    fan-out compact), followed by a METADATA-ONLY retention drop of
+    the first ten days. Routing uses Hudi's non-global-index contract
+    (same key on different days = different rows), so the oracle is a
+    pure LWW SQL fold per (day, user_id, k) filtered to surviving
+    days: any divergence in day routing, per-partition merge, the
+    vector read, MOR fold or the drop breaks the value hash."""
+    import shutil
+    import tempfile
+
+    from oregonwaterdataportal_etl_spark.lake import PartitionedLakeTable
+
+    # first ten days only: the per-day child tables make partition
+    # count the dominant small-scale cost, and ten is enough to gate
+    # routing + drop semantics without a 30-partition fan-out
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            # parquet TIMESTAMP(isAdjustedToUTC=false) reads as NTZ;
+            # session tz is UTC so the LTZ cast preserves wall time
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.col("event_id"),
+            F.round("value", 4).alias("value"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mid = ev.agg(F.percentile_approx("lsn", 0.5)).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_part_")
+    try:
+        table = PartitionedLakeTable.create(
+            os.path.join(tmp, "t"),
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("k", T.IntegerType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            ),
+            key_cols=["user_id", "k"],
+            partition_col="ts",
+            num_buckets=4,
+        )
+        table.merge(ev.filter(F.col("lsn") < mid))
+        table.merge(ev.filter(F.col("lsn") >= mid), mode="mor")
+        table.compact(spark)
+        table.drop_partitions(before="2024-01-06")
+        out = (
+            table.read(spark)
+            .select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "user_id", "k", "event_id", "value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_incr_view(spark, sf):
     """Incremental materialized aggregate under the driver's value
     gate (lake/incremental.py): the events stream becomes a change
@@ -1195,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_tiebreak": q_lww_tiebreak,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_mixed_mode": q_cdc_mixed_mode,
+        "cdc_partitioned": q_cdc_partitioned,
         "incr_view": q_incr_view,
         "cdc_changelog": q_cdc_changelog,
         "cdc_replica": q_cdc_replica,
@@ -1601,6 +1675,23 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type != 'error'
+        """,
+        "cdc_partitioned": """
+            -- LWW per (day, user_id, k): the non-global-index contract
+            -- makes the day part of row identity; retention drops the
+            -- first ten days wholesale
+            SELECT day, user_id, k, event_id, round(value, 4) AS value
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                         user_id,
+                         cast(json_extract(props, '$.k') AS int) AS k,
+                         event_id, value, event_type,
+                         row_number() OVER
+                           (PARTITION BY strftime(ts, '%Y-%m-%d'), user_id,
+                                         cast(json_extract(props, '$.k') AS int)
+                            ORDER BY event_id DESC) rn
+                  FROM events
+                  WHERE ts < TIMESTAMP '2024-01-11')
+            WHERE rn = 1 AND event_type != 'error' AND day >= '2024-01-06'
         """,
         "incr_view": """
             WITH folded AS (
