@@ -65,6 +65,12 @@ class MaintenancePolicy:
     orphan_grace_seconds: float = 86400.0
     cluster_by: list[str] | None = None
     compact_kwargs: dict = field(default_factory=dict)
+    # PartitionedLakeTable only (ignored for flat tables): retention =
+    # keep the newest K partition values, drop the rest METADATA-ONLY
+    # (lexicographic order == chronological for days/months transforms);
+    # data-relative rather than wall-clock-relative so a paused pipeline
+    # never eats its own tail on restart
+    keep_partitions: int | None = None
 
 
 def plan_maintenance(table: LakeTable, policy: MaintenancePolicy) -> dict:
@@ -131,7 +137,13 @@ def maintain(
 
     Returns {concern: reason} for the actions actually taken (the
     ``plan_maintenance`` plan, executed). Idempotent: a second call
-    on the resulting table plans nothing for the same concerns."""
+    on the resulting table plans nothing for the same concerns.
+
+    A PartitionedLakeTable routes to its own ``maintain`` (retention
+    drop, per-child upkeep, root-level history GC) — so a CdcRunner
+    with a maintenance_policy drives either table kind unchanged."""
+    if hasattr(table, "partition_table"):
+        return table.maintain(spark, policy)
     plan = plan_maintenance(table, policy)
     if "rebucket" in plan:
         table.rebucket(spark, plan.pop("_rebucket_target"))

@@ -654,6 +654,70 @@ class PartitionedLakeTable:
         self._commit_root(mutate)
         return sum(rows.values())
 
+    def maintain(self, spark: SparkSession, policy) -> dict:
+        """Policy-driven upkeep for the whole partition tree — what a
+        maintenance job (or CdcRunner's cadence) calls:
+
+        1. RETENTION first (``policy.keep_partitions``): newest K
+           partition values stay, the rest drop metadata-only — no
+           point compacting a partition about to be dropped.
+        2. Per-child plan/act via lake.maintenance (decisions from
+           each child's manifest only; healthy children cost zero
+           Spark jobs). Child-level vacuum is STRIPPED from the
+           policy: only the root vacuum may expire child history,
+           because it alone knows which child versions retained root
+           manifests still pin.
+        3. Root vacuum under ``policy.keep_snapshots`` (also reaps
+           dropped children past the orphan grace).
+
+        Returns {concern: detail} for actions taken; {} = healthy.
+        Idempotent like the flat maintain: every action clears its
+        own trigger."""
+        from dataclasses import replace
+
+        from .maintenance import maintain as _maintain
+
+        report: dict = {}
+        if policy.keep_partitions is not None:
+            live = sorted(self.partitions())
+            if len(live) > policy.keep_partitions:
+                cutoff = live[-policy.keep_partitions]
+                dropped = self.drop_partitions(before=cutoff)
+                if dropped:
+                    report["drop_partitions"] = dropped
+        child_policy = replace(policy, keep_snapshots=None)
+        vector = self.partitions()
+        pinned: dict[str, int] = {}
+        for v in sorted(vector):
+            child = self.partition_table(v)
+            acted = _maintain(spark, child, child_policy)
+            if acted:
+                report[f"p={v}"] = acted
+            pinned[v] = child.current_version()
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            for v, ver in pinned.items():
+                if v in parts:
+                    parts[v] = max(ver, parts[v])
+            s["partitions"] = parts
+            s["summary"] = {"operation": "maintain",
+                            "concerns": sorted(report)}
+            return s
+
+        if any(pinned[v] != vector.get(v) for v in pinned):
+            self._commit_root(mutate)
+        if policy.keep_snapshots is not None:
+            current = self.current_version()
+            n = sum(1 for s in self.history() if s["version"] <= current)
+            if n > policy.keep_snapshots:
+                removed = self.vacuum(
+                    keep_last=policy.keep_snapshots,
+                    orphan_grace_seconds=policy.orphan_grace_seconds,
+                )
+                report["vacuum"] = f"{n} root snapshots > {policy.keep_snapshots}; removed {removed} files"
+        return report
+
     def max_lsn(self, spark: SparkSession) -> int:
         vector = self.partitions()
         if not vector:

@@ -300,3 +300,68 @@ def test_schema_evolution_reaches_every_partition(spark, tmp_path):
     vals = {r["id"]: r["extra"] for r in out.collect()}
     # old rows (day-1 pre-evolution AND untouched day-2) read as null
     assert vals == {1: None, 2: None, 3: 7}
+
+
+def test_policy_maintenance_partitioned(spark, tmp_path):
+    """Retention + per-child upkeep + root history GC through ONE
+    policy call — and via the shared lake.maintenance.maintain router."""
+    from oregonwaterdataportal_etl_spark.lake import MaintenancePolicy, maintain
+
+    t = _create(tmp_path)
+    # day-1..day-4 history; day-4 gets MOR delta debt
+    t.merge(_events(spark, [(i, d, i * 10 + d, "insert", f"v{i}{d}")
+                            for i in range(1, 5) for d in range(1, 5)]))
+    for j in range(3):
+        t.merge(_events(spark, [(1, 4, 1000 + j, "update", f"u{j}")]),
+                mode="mor")
+    pol = MaintenancePolicy(
+        max_files_per_bucket=None,
+        max_delta_files_per_bucket=2,
+        keep_partitions=3,
+        keep_snapshots=2,
+        orphan_grace_seconds=0.0,
+    )
+    report = maintain(spark, t, pol)  # routes to t.maintain
+    assert report["drop_partitions"] == ["2024-01-01"]
+    assert "p=2024-01-04" in report  # the delta-debt child compacted
+    assert not t.partition_table("2024-01-04").snapshot().get("deltas")
+    assert "vacuum" in report
+    # state after: days 2-4, LWW winner on (1, day4)
+    assert _state(t, spark)[(1, 4)] == "u2"
+    assert sorted(t.partitions()) == ["2024-01-02", "2024-01-03", "2024-01-04"]
+    # dropped child reaped by the root vacuum (grace 0)
+    assert not os.path.isdir(t.partition_dir("2024-01-01"))
+    # converged: a second call is a full no-op
+    assert maintain(spark, t, pol) == {}
+
+
+def test_runner_policy_cadence_partitioned(spark, tmp_path):
+    """CdcRunner(maintenance_policy=...) drives the partitioned tree:
+    retention happens ON the ingest cadence, no integration code."""
+    from oregonwaterdataportal_etl_spark.cdc import CdcRunner, ManifestLog, OffsetLog
+    from oregonwaterdataportal_etl_spark.lake import MaintenancePolicy
+
+    t = _create(tmp_path)
+    events = _events(spark, [
+        (i, d, d * 100 + i, "insert", f"v{i}")
+        for d in range(1, 5) for i in range(1, 4)
+    ]).localCheckpoint(eager=True)
+    runner = CdcRunner(
+        table=t,
+        offsets=OffsetLog(str(tmp_path / "off"), "src"),
+        manifests=ManifestLog(str(tmp_path / "man")),
+        source=lambda: events,
+        compact_every=1,
+        maintenance_policy=MaintenancePolicy(
+            max_files_per_bucket=None,
+            max_delta_files_per_bucket=None,
+            keep_partitions=2,
+            orphan_grace_seconds=0.0,
+        ),
+    )
+    runner.run_window(101, 199)   # day 1
+    runner.run_window(200, 399)   # days 2-3
+    runner.run_window(400, 499)   # day 4
+    # each cadence kept only the newest 2 partition values
+    assert sorted(t.partitions()) == ["2024-01-03", "2024-01-04"]
+    assert {k[1] for k in _state(t, spark)} == {3, 4}
