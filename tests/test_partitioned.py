@@ -365,3 +365,85 @@ def test_runner_policy_cadence_partitioned(spark, tmp_path):
     # each cadence kept only the newest 2 partition values
     assert sorted(t.partitions()) == ["2024-01-03", "2024-01-04"]
     assert {k[1] for k in _state(t, spark)} == {3, 4}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.integers(1, 5),            # key id
+            st.integers(0, 3),            # day index
+            st.text(alphabet="abcxyz", min_size=0, max_size=6),
+        ),
+        min_size=1, max_size=50,
+    ),
+    st.lists(st.sampled_from(["cow", "mor"]), min_size=2, max_size=4),
+    st.lists(
+        st.sampled_from(["none", "compact", "drop0", "drop1", "drop2",
+                         "vacuum"]),
+        min_size=2, max_size=4,
+    ),
+    st.sampled_from(["pointer", "rename-free"]),
+)
+def test_partitioned_chaos_schedule_equals_oracle_fold(
+    spark, tmp_path_factory, raw, modes, maint, cmode
+):
+    """Partition-tree chaos property: ANY interleaving of cow merges,
+    mor appends, fan-out compacts, METADATA-ONLY retention drops and
+    vacuums over an arbitrary (day, key) event list must leave the
+    tree in exactly the state of a sequential oracle that replays the
+    same schedule (LWW per (day, key); a drop permanently removes the
+    days below its cutoff, later events re-create those partitions
+    with only later rows). One schedule, both commit modes."""
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("chaos_pt")
+    rows = [
+        (i, d, idx, op, txt)  # (id, day, lsn, op, v) for _events
+        for idx, (op, i, d, txt) in enumerate(raw, start=1)
+    ]
+    t = PartitionedLakeTable.create(
+        str(tmp / "pt"), SCHEMA, key_cols=["id"], partition_col="ts",
+        num_buckets=2, commit_mode=cmode,
+    )
+    # sequential oracle over the SAME schedule
+    state: dict = {}
+    n, nb = len(rows), len(modes)
+    step = max(n // nb, 1)
+    for bi, mode in enumerate(modes):
+        lo = bi * step
+        hi = (bi + 1) * step if bi < nb - 1 else n
+        if lo >= n:
+            break
+        batch = rows[lo:hi]
+        t.merge(_events(spark, [(i, d + 1, lsn, op, v)
+                                for i, d, lsn, op, v in batch]),
+                mode=mode)
+        for i, d, lsn, op, v in batch:
+            k = (i, d)
+            cur = state.get(k)
+            if cur is None or lsn > cur[0]:
+                state[k] = (lsn, None if op == "delete" else v,
+                            op == "delete")
+        m = maint[bi % len(maint)]
+        if m == "compact":
+            t.compact(spark)
+        elif m.startswith("drop"):
+            day = int(m[4:])
+            cutoff = f"2024-01-0{day + 1}"
+            t.drop_partitions(before=cutoff)
+            state = {k: s for k, s in state.items() if k[1] >= day}
+        elif m == "vacuum":
+            t.vacuum(keep_last=1, orphan_grace_seconds=1e9)
+    expected = sorted(
+        (k[0], k[1] + 1, s[1]) for k, s in state.items() if not s[2]
+    )
+    got = sorted((r["id"], r["ts"].day, r["v"])
+                 for r in t.read(spark).collect())
+    assert got == expected
+    shutil.rmtree(str(tmp), ignore_errors=True)
