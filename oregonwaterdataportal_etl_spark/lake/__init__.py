@@ -1,7 +1,11 @@
 from .bucketed import register_bucketed_table, write_bucketed_wal
 from .incremental import AggSpec, IncrementalAggView
 from .maintenance import MaintenancePolicy, maintain, plan_maintenance
-from .partitioned import PartitionedLakeTable, PartitionedMergeResult
+from .partitioned import (
+    PartitionedLakeTable,
+    PartitionedMergeResult,
+    write_partitioned_wal,
+)
 from .table import LakeTable, MergeResult
 from .wap import (
     Audit,
@@ -25,6 +29,7 @@ __all__ = [
     "MergeResult",
     "PartitionedLakeTable",
     "PartitionedMergeResult",
+    "write_partitioned_wal",
     "MaintenancePolicy",
     "maintain",
     "plan_maintenance",

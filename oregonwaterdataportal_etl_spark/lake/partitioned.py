@@ -64,6 +64,38 @@ from .table import (
     versioned_commit,
 )
 
+def write_partitioned_wal(
+    df: DataFrame, path: str, table: "PartitionedLakeTable"
+) -> str:
+    """Append a change batch to ``path`` as a PARTITIONED bucketed WAL:
+    ``p=<transform(ts)>/`` hive subdirs, each holding files in the
+    tree's own bucket layout (Spark's partitionBy + bucketBy writer,
+    one file per touched (day, bucket)). The producer pays its one-time
+    routing shuffle here — exactly like ``write_bucketed_wal`` — so
+    every downstream ``PartitionedLakeTable.merge_prebucketed`` runs
+    exchange-free per day. Config (keys, bucket count, transform) is
+    taken FROM the table so layout mismatches cannot be authored.
+    Returns the batch subdirectory."""
+    import uuid
+
+    snap = table.snapshot()
+    spark = df.sparkSession
+    name = f"pwal_write_{uuid.uuid4().hex[:8]}"
+    batch_dir = os.path.join(os.path.abspath(path), f"batch-{uuid.uuid4().hex[:12]}")
+    keys = snap["key_cols"]
+    nb = snap["num_buckets"]
+    (
+        df.withColumn("p", table._partition_expr(snap))
+        .repartition(nb, *[F.col(c) for c in keys])
+        .write.partitionBy("p")
+        .bucketBy(nb, *keys)
+        .option("path", batch_dir)
+        .saveAsTable(name)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    return batch_dir
+
+
 _TRANSFORMS = ("days", "months", "identity")
 # identity partition values become directory names; keep them safe
 _SAFE_VALUE = re.compile(r"^[A-Za-z0-9._\-]{1,128}$")
@@ -389,6 +421,67 @@ class PartitionedLakeTable:
             return s
 
         out.version = self._commit_root(mutate)["version"]
+        return out
+
+    def merge_prebucketed(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        lsn_range: tuple[int, int] | None = None,
+        _plan_out: list | None = None,
+    ) -> PartitionedMergeResult:
+        """Zero-exchange apply into the partition tree: ``source_path``
+        is a PARTITIONED bucketed WAL (``write_partitioned_wal`` —
+        ``p=<value>/`` day subdirs, each in this tree's bucket layout),
+        and every day slice resolves through the child's
+        ``merge_prebucketed`` with no Exchange in any per-day plan.
+        This is the at-scale steady state composed: time routing
+        bounds WHICH base files participate (O(active days)), the
+        bucketed layout removes the resolve shuffle on top of that.
+        One root commit pins the final vector."""
+        snap = self.snapshot()
+        try:
+            names = sorted(os.listdir(source_path))
+        except FileNotFoundError:
+            names = []
+        values = [n[2:] for n in names if n.startswith("p=")]
+        if any(v.startswith("__HIVE_DEFAULT") for v in values):
+            raise ValueError(
+                f"WAL carries a null/default {snap['partition_col']!r} "
+                "partition; change events must carry a routable value"
+            )
+        out = PartitionedMergeResult(version=-1)
+        pinned: dict[str, int] = {}
+        for v in values:
+            child = self._ensure_partition(v, snap)
+            res = child.merge_prebucketed(
+                spark, os.path.join(source_path, f"p={v}"),
+                op_col=op_col, lsn_col=lsn_col, lsn_range=lsn_range,
+                _plan_out=_plan_out,
+            )
+            pinned[v] = res.version
+            out.partitions[v] = res.as_dict()
+            for k in ("rows_inserted", "rows_updated", "rows_deleted",
+                      "rows_noop", "rows_dropped", "rows_delta"):
+                setattr(out, k, getattr(out, k) + getattr(res, k))
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            for v, ver in pinned.items():
+                parts[v] = max(ver, parts.get(v, -1))
+            s["partitions"] = parts
+            s["summary"] = {
+                "operation": "merge_prebucketed",
+                "touched_partitions": values,
+            }
+            return s
+
+        if pinned:
+            out.version = self._commit_root(mutate)["version"]
+        else:
+            out.version = snap["version"]
         return out
 
     # ---------------------------------------------------------- read

@@ -447,3 +447,33 @@ def test_partitioned_chaos_schedule_equals_oracle_fold(
                  for r in t.read(spark).collect())
     assert got == expected
     shutil.rmtree(str(tmp), ignore_errors=True)
+
+
+def test_partitioned_wal_zero_exchange_merge(spark, tmp_path):
+    """The at-scale steady state composed: day-routed WAL + per-day
+    zero-exchange resolve. Final state == the ordinary merge path, and
+    NO Exchange appears in any per-day resolve plan."""
+    from oregonwaterdataportal_etl_spark.lake import write_partitioned_wal
+
+    rows1 = [(i, 1 + i % 3, i, "insert", f"v{i}") for i in range(1, 10)]
+    rows2 = [(1, 1, 20, "update", "x"), (4, 1, 21, "delete", None),
+             (2, 2, 22, "update", "y"), (100, 4, 23, "insert", "new")]
+    t = _create(tmp_path)
+    t.merge(_events(spark, rows1))
+    wal = write_partitioned_wal(_events(spark, rows2), str(tmp_path / "wal"), t)
+    plans: list = []
+    res = t.merge_prebucketed(spark, wal, _plan_out=plans)
+    assert sorted(res.partitions) == ["2024-01-01", "2024-01-02", "2024-01-04"]
+    assert plans and all("Exchange" not in p for p in plans), plans[:1]
+    # oracle: ordinary merge path on a twin table
+    t2 = PartitionedLakeTable.create(
+        str(tmp_path / "twin"), SCHEMA, key_cols=["id"],
+        partition_col="ts", num_buckets=4,
+    )
+    t2.merge(_events(spark, rows1))
+    t2.merge(_events(spark, rows2))
+    assert _state(t, spark) == _state(t2, spark)
+    # replayed WAL merge is a no-op under the LSN guard
+    before = _state(t, spark)
+    t.merge_prebucketed(spark, wal)
+    assert _state(t, spark) == before
