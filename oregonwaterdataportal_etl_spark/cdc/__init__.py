@@ -3,7 +3,11 @@ from .offsets import OffsetLog
 from .manifests import ManifestLog
 from .apply import lww_dedup, apply_batch, oracle_fold
 from .runner import CdcRunner
-from .source import BucketedWalSource, LsnRangedParquetSource
+from .source import (
+    BucketedWalSource,
+    LsnRangedParquetSource,
+    PartitionedWalSource,
+)
 from .follower import ChangelogFollower, changelog_to_events, replicate_available
 from .watermarks import WatermarkStore
 from .envelope import (
@@ -28,6 +32,7 @@ __all__ = [
     "CdcRunner",
     "LsnRangedParquetSource",
     "BucketedWalSource",
+    "PartitionedWalSource",
     "ChangelogFollower",
     "changelog_to_events",
     "replicate_available",

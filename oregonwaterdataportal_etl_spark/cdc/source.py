@@ -189,3 +189,57 @@ class BucketedWalSource(LsnRangedParquetSource):
         for f in keep:
             os.link(f, os.path.join(d, os.path.basename(f)))
         return d
+
+
+class PartitionedWalSource(BucketedWalSource):
+    """A DAY-PARTITIONED bucketed change log
+    (``lake.partitioned.write_partitioned_wal``: ``p=<value>/`` hive
+    subdirs, each in the tree's bucket layout). Everything
+    BucketedWalSource does — footer LSN pruning, metadata-only
+    max_lsn, the ``prebucketed`` routing flag — except ``pruned_dir``
+    PRESERVES the ``p=`` structure, so a CdcRunner bound to a
+    PartitionedLakeTable applies each window through the tree's
+    ``merge_prebucketed``: time-routed AND exchange-free."""
+
+    def pruned_dir(self, lo: int, hi: int) -> str | None:
+        import tempfile
+
+        keep, _total = self.files_for(lo, hi)
+        if not keep:
+            return None
+        d = tempfile.mkdtemp(prefix=".pwalwin-", dir=self.path)
+        for f in keep:
+            rel = os.path.relpath(f, self.path)
+            pseg = next(
+                (s for s in rel.split(os.sep) if s.startswith("p=")), None
+            )
+            if pseg is None:
+                raise ValueError(
+                    f"{f} carries no p=<value> path segment — not a "
+                    "partitioned WAL (use BucketedWalSource for flat logs)"
+                )
+            sub = os.path.join(d, pseg)
+            os.makedirs(sub, exist_ok=True)
+            os.link(f, os.path.join(sub, os.path.basename(f)))
+        return d
+
+    def _read_all(self) -> DataFrame:
+        # NO basePath: the batch-<hex>/p=<value>/ nesting mixes a
+        # non-partition level with a partition level, which Spark's
+        # directory-structure inference rejects outright
+        # (CONFLICTING_DIRECTORY_STRUCTURES). Explicit file reads skip
+        # inference — and the p= directory column is WAL routing
+        # metadata, not payload, so it must stay out of the batch
+        # anyway (the non-zx fallback would evolve it into the schema).
+        files = self._files()
+        if not files:
+            return self.spark.read.parquet(self.path)  # propagate error
+        return self.spark.read.parquet(*files)
+
+    def __call__(self, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        if lo is None and hi is None:
+            return self._read_all()
+        keep, _total = self.files_for(lo, hi)
+        if not keep:
+            return self._read_all().filter(F.lit(False))
+        return self.spark.read.schema(self._dir_schema()).parquet(*keep)

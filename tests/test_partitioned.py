@@ -477,3 +477,57 @@ def test_partitioned_wal_zero_exchange_merge(spark, tmp_path):
     before = _state(t, spark)
     t.merge_prebucketed(spark, wal)
     assert _state(t, spark) == before
+
+
+def test_runner_zero_exchange_partitioned_wal(spark, tmp_path):
+    """The full production loop composed: CdcRunner windows over a
+    PartitionedWalSource apply through the tree's merge_prebucketed
+    (time-routed AND exchange-free); final state equals the plain
+    thunk-source runner; replay no-ops."""
+    from oregonwaterdataportal_etl_spark.cdc import (
+        CdcRunner,
+        ManifestLog,
+        OffsetLog,
+        PartitionedWalSource,
+    )
+    from oregonwaterdataportal_etl_spark.lake import write_partitioned_wal
+
+    rows = (
+        [(i, 1 + i % 3, i, "insert", f"v{i}") for i in range(1, 13)]
+        + [(1, 1, 20, "update", "x"), (5, 2, 21, "delete", None),
+           (30, 4, 22, "insert", "n")]
+    )
+    t = _create(tmp_path)
+    wal_dir = str(tmp_path / "wal")
+    write_partitioned_wal(_events(spark, [r for r in rows if r[2] < 10]),
+                          wal_dir, t)
+    write_partitioned_wal(_events(spark, [r for r in rows if r[2] >= 10]),
+                          wal_dir, t)
+    runner = CdcRunner(
+        table=t,
+        offsets=OffsetLog(str(tmp_path / "off"), "src"),
+        manifests=ManifestLog(str(tmp_path / "man")),
+        source=PartitionedWalSource(spark, wal_dir),
+    )
+    runner.run_window(1, 9)
+    runner.run_window(10, 22)
+    assert runner.run_window(10, 22) is None   # committed replay no-op
+    # windows went through the zero-exchange tree path
+    ops = [t.snapshot(v)["summary"]["operation"]
+           for v in range(1, t.current_version() + 1)]
+    assert ops.count("merge_prebucketed") == 2, ops
+    # oracle: plain-source runner on a twin tree
+    t2 = PartitionedLakeTable.create(
+        str(tmp_path / "twin"), SCHEMA, key_cols=["id"],
+        partition_col="ts", num_buckets=4,
+    )
+    ev = _events(spark, rows).localCheckpoint(eager=True)
+    r2 = CdcRunner(
+        table=t2,
+        offsets=OffsetLog(str(tmp_path / "off2"), "src"),
+        manifests=ManifestLog(str(tmp_path / "man2")),
+        source=lambda: ev,
+    )
+    r2.run_window(1, 9)
+    r2.run_window(10, 22)
+    assert _state(t, spark) == _state(t2, spark)
