@@ -115,6 +115,17 @@ class LsnRangedParquetSource:
             out = hi if out is None else max(out, hi)
         return out
 
+    # Partitioned WALs set this False: their batch-<hex>/p=<value>/
+    # nesting mixes a non-partition level with a partition level, which
+    # Spark's directory-structure inference rejects outright
+    # (CONFLICTING_DIRECTORY_STRUCTURES) — and their p= column is
+    # routing metadata that must stay out of the batch anyway.
+    _use_base_path = True
+
+    def _reader(self):
+        r = self.spark.read
+        return r.option("basePath", self.path) if self._use_base_path else r
+
     def _read_all(self) -> DataFrame:
         """Directory-level read via the recursive file list + basePath:
         equivalent to spark.read.parquet(dir) for flat and
@@ -124,7 +135,7 @@ class LsnRangedParquetSource:
         files = self._files()
         if not files:
             return self.spark.read.parquet(self.path)  # propagate the error
-        return self.spark.read.option("basePath", self.path).parquet(*files)
+        return self._reader().parquet(*files)
 
     def _dir_schema(self):
         """Directory-level schema, cached by the file-set signature so
@@ -150,11 +161,7 @@ class LsnRangedParquetSource:
         # directory-level read (covers schema-evolving logs whose kept
         # subset would infer narrower) and set basePath so
         # hive-partition directory columns survive a file-subset read.
-        return (
-            self.spark.read.option("basePath", self.path)
-            .schema(self._dir_schema())
-            .parquet(*keep)
-        )
+        return self._reader().schema(self._dir_schema()).parquet(*keep)
 
 
 class BucketedWalSource(LsnRangedParquetSource):
@@ -201,45 +208,36 @@ class PartitionedWalSource(BucketedWalSource):
     PartitionedLakeTable applies each window through the tree's
     ``merge_prebucketed``: time-routed AND exchange-free."""
 
+    # skip basePath directory inference (see LsnRangedParquetSource):
+    # reads return payload columns only, never the p= routing column
+    _use_base_path = False
+
     def pruned_dir(self, lo: int, hi: int) -> str | None:
+        import shutil
         import tempfile
 
         keep, _total = self.files_for(lo, hi)
         if not keep:
             return None
         d = tempfile.mkdtemp(prefix=".pwalwin-", dir=self.path)
-        for f in keep:
-            rel = os.path.relpath(f, self.path)
-            pseg = next(
-                (s for s in rel.split(os.sep) if s.startswith("p=")), None
-            )
-            if pseg is None:
-                raise ValueError(
-                    f"{f} carries no p=<value> path segment — not a "
-                    "partitioned WAL (use BucketedWalSource for flat logs)"
+        try:
+            for f in keep:
+                rel = os.path.relpath(f, self.path)
+                pseg = next(
+                    (s for s in rel.split(os.sep) if s.startswith("p=")), None
                 )
-            sub = os.path.join(d, pseg)
-            os.makedirs(sub, exist_ok=True)
-            os.link(f, os.path.join(sub, os.path.basename(f)))
+                if pseg is None:
+                    raise ValueError(
+                        f"{f} carries no p=<value> path segment — not a "
+                        "partitioned WAL (use BucketedWalSource for flat "
+                        "logs)"
+                    )
+                sub = os.path.join(d, pseg)
+                os.makedirs(sub, exist_ok=True)
+                os.link(f, os.path.join(sub, os.path.basename(f)))
+        except BaseException:
+            # never leak the window dir (or its hardlinks, which would
+            # pin deleted WAL files' space) on a failed build
+            shutil.rmtree(d, ignore_errors=True)
+            raise
         return d
-
-    def _read_all(self) -> DataFrame:
-        # NO basePath: the batch-<hex>/p=<value>/ nesting mixes a
-        # non-partition level with a partition level, which Spark's
-        # directory-structure inference rejects outright
-        # (CONFLICTING_DIRECTORY_STRUCTURES). Explicit file reads skip
-        # inference — and the p= directory column is WAL routing
-        # metadata, not payload, so it must stay out of the batch
-        # anyway (the non-zx fallback would evolve it into the schema).
-        files = self._files()
-        if not files:
-            return self.spark.read.parquet(self.path)  # propagate error
-        return self.spark.read.parquet(*files)
-
-    def __call__(self, lo: int | None = None, hi: int | None = None) -> DataFrame:
-        if lo is None and hi is None:
-            return self._read_all()
-        keep, _total = self.files_for(lo, hi)
-        if not keep:
-            return self._read_all().filter(F.lit(False))
-        return self.spark.read.schema(self._dir_schema()).parquet(*keep)

@@ -79,6 +79,15 @@ def write_partitioned_wal(
     import uuid
 
     snap = table.snapshot()
+    if "p" in df.columns:
+        # the routing column would silently overwrite (and partitionBy
+        # would then strip) a payload column of the same name; the
+        # ordinary merge() route has no such reservation
+        raise ValueError(
+            "the change frame carries a column named 'p', which is "
+            "reserved for WAL partition routing — rename it or use the "
+            "ordinary merge() path"
+        )
     spark = df.sparkSession
     name = f"pwal_write_{uuid.uuid4().hex[:8]}"
     batch_dir = os.path.join(os.path.abspath(path), f"batch-{uuid.uuid4().hex[:12]}")
@@ -452,6 +461,20 @@ class PartitionedLakeTable:
                 f"WAL carries a null/default {snap['partition_col']!r} "
                 "partition; change events must carry a routable value"
             )
+        if not values:
+            from .bucketed import collect_wal_files
+
+            if collect_wal_files(source_path):
+                # a FLAT bucketed WAL pointed at a partitioned tree:
+                # silently treating it as empty would commit a zero-row
+                # success and the runner would advance offsets past
+                # unapplied data (review finding — the mirror of
+                # PartitionedWalSource's no-p= error)
+                raise ValueError(
+                    f"{source_path} holds bucketed files but no p=<value> "
+                    "subdirs — a flat WAL cannot route into a partitioned "
+                    "tree (produce it with write_partitioned_wal)"
+                )
         out = PartitionedMergeResult(version=-1)
         pinned: dict[str, int] = {}
         for v in values:

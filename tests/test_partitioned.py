@@ -531,3 +531,31 @@ def test_runner_zero_exchange_partitioned_wal(spark, tmp_path):
     r2.run_window(1, 9)
     r2.run_window(10, 22)
     assert _state(t, spark) == _state(t2, spark)
+
+
+def test_wal_misconfiguration_guards(spark, tmp_path):
+    """Review fixes: a flat WAL into a partitioned tree fails loudly
+    (never a silent zero-row commit); a payload column named 'p' is
+    refused by the WAL writer; a failed pruned_dir build leaks nothing."""
+    from oregonwaterdataportal_etl_spark.cdc import PartitionedWalSource
+    from oregonwaterdataportal_etl_spark.lake import (
+        write_bucketed_wal,
+        write_partitioned_wal,
+    )
+
+    t = _create(tmp_path)
+    flat = str(tmp_path / "flatwal")
+    write_bucketed_wal(_events(spark, [(1, 1, 1, "insert", "a")]), flat, 4,
+                       ["id"])
+    with pytest.raises(ValueError, match="flat WAL"):
+        t.merge_prebucketed(spark, flat)
+    with pytest.raises(ValueError, match="reserved"):
+        write_partitioned_wal(
+            _events(spark, [(1, 1, 1, "insert", "a")]).withColumn(
+                "p", F.lit("x")),
+            str(tmp_path / "w2"), t)
+    # flat files under a PartitionedWalSource: loud error, no leaked dir
+    src = PartitionedWalSource(spark, flat)
+    with pytest.raises(ValueError, match="p=<value>"):
+        src.pruned_dir(1, 1)
+    assert not [d for d in os.listdir(flat) if d.startswith(".pwalwin")]
