@@ -559,3 +559,43 @@ def test_wal_misconfiguration_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="p=<value>"):
         src.pruned_dir(1, 1)
     assert not [d for d in os.listdir(flat) if d.startswith(".pwalwin")]
+
+
+def test_months_transform(spark, tmp_path):
+    t = PartitionedLakeTable.create(
+        str(tmp_path / "m"), SCHEMA, key_cols=["id"],
+        partition_col="ts", transform="months", num_buckets=2,
+    )
+    t.merge(spark.createDataFrame(
+        [Row(id=1, ts=datetime.datetime(2024, 1, 5), lsn=1, op="insert", v="a"),
+         Row(id=2, ts=datetime.datetime(2024, 2, 20), lsn=2, op="insert", v="b"),
+         Row(id=1, ts=datetime.datetime(2024, 2, 9), lsn=3, op="insert", v="c")],
+    ))
+    assert sorted(t.partitions()) == ["2024-01", "2024-02"]
+    assert t.drop_partitions(before="2024-02") == ["2024-01"]
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_concurrent_writers_different_partitions(spark, tmp_path):
+    """Two writers racing root commits on DIFFERENT days both land:
+    the vector max-merge retry composes their updates (the losing
+    writer re-reads and re-applies its pin on the fresh root)."""
+    import threading
+
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    errs = []
+
+    def writer(day, lsn, val):
+        try:
+            t.merge(_events(spark, [(9, day, lsn, "insert", val)]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th1 = threading.Thread(target=writer, args=(1, 10, "x"))
+    th2 = threading.Thread(target=writer, args=(2, 11, "y"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs
+    st = _state(t, spark)
+    assert st[(9, 1)] == "x" and st[(9, 2)] == "y"
+    assert st[(1, 1)] == "a" and st[(2, 2)] == "b"
