@@ -254,6 +254,40 @@ class PartitionedLakeTable:
         child = self.partition_table(value)
         if not child.exists():
             self._create_child(child, snap)
+        elif value not in (snap.get("partitions") or {}):
+            # The child DIR exists but the partition is not in the
+            # current vector: it was DROPPED and not yet vacuumed. This
+            # merge starts a NEW INCARNATION — the child chain gets a
+            # truncate commit (empty file maps) so the dropped rows
+            # cannot resurrect through the re-created partition, while
+            # the old versions stay on the chain for pre-drop root time
+            # travel (found by the chaos-schedule property: a
+            # drop -> re-merge sequence read back the dropped rows).
+            cs = child.snapshot()
+            if cs.get("files") or cs.get("deltas") or cs.get("tombstones"):
+                new = dict(cs)
+                new.pop("committed_at", None)
+                new.update(
+                    version=cs["version"] + 1,
+                    parent=cs["version"],
+                    files={},
+                    deltas={},
+                    tombstones={},
+                    row_counts={},
+                    summary={"operation": "truncate-reincarnate"},
+                )
+                try:
+                    child._commit(new)
+                except Exception:
+                    # a concurrent re-creator may have truncated first;
+                    # only a still-populated chain is an error
+                    fresh = child.snapshot()
+                    if (
+                        fresh.get("files")
+                        or fresh.get("deltas")
+                        or fresh.get("tombstones")
+                    ):
+                        raise
         return child
 
     @staticmethod

@@ -599,3 +599,31 @@ def test_concurrent_writers_different_partitions(spark, tmp_path):
     st = _state(t, spark)
     assert st[(9, 1)] == "x" and st[(9, 2)] == "y"
     assert st[(1, 1)] == "a" and st[(2, 2)] == "b"
+
+
+def test_recreated_partition_does_not_resurrect_dropped_rows(spark, tmp_path):
+    """Regression (found by the chaos property): merging into a day
+    that was DROPPED but not yet vacuumed must start a fresh
+    incarnation — the stale child dir's rows may not resurrect.
+    Pre-drop root time travel still sees the old incarnation."""
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(5, 3, 1, "update", "yz"),
+                            (5, 1, 2, "update", "bxzacy")]))
+    t.merge(_events(spark, [(1, 1, 3, "insert", ""), (1, 1, 4, "insert", "")]))
+    v_pre = t.current_version()
+    t.drop_partitions(before="2024-01-03")   # drops day 1 (and day 2)
+    # re-create day 1: only the NEW rows may exist there
+    t.merge(_events(spark, [(1, 1, 5, "insert", ""), (1, 1, 6, "insert", "")]))
+    assert _state(t, spark) == {(1, 1): "", (5, 3): "yz"}
+    # old incarnation still readable at the pre-drop root version
+    assert _state(t, spark, version=v_pre) == {
+        (1, 1): "", (5, 1): "bxzacy", (5, 3): "yz",
+    }
+    # zx route re-creates through the same guard
+    from oregonwaterdataportal_etl_spark.lake import write_partitioned_wal
+
+    t.drop_partitions(before="2024-01-02")
+    wal = write_partitioned_wal(
+        _events(spark, [(2, 1, 7, "insert", "fresh")]), str(tmp_path / "w"), t)
+    t.merge_prebucketed(spark, wal)
+    assert _state(t, spark) == {(2, 1): "fresh", (5, 3): "yz"}
