@@ -868,6 +868,70 @@ class PartitionedLakeTable:
                 report["vacuum"] = f"{n} root snapshots > {policy.keep_snapshots}; removed {removed} files"
         return report
 
+    def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Tree-level metadata frames (Iceberg metadata-tables analog,
+        same contract as LakeTable.metadata_df — manifests + os.stat
+        only, zero data I/O):
+
+        - "partitions": one row per partition VALUE (pinned child
+          version + summed child stats) — the operational view a
+          retention/maintenance decision reads;
+        - "files": union of every live child's files frame, prefixed
+          with its partition value;
+        - "history": the ROOT commit chain (operation, touched
+          partitions, partition count).
+        """
+        vector = self.partitions()
+        if kind == "partitions":
+            rows = []
+            for v in sorted(vector):
+                s = self.partition_table(v).stats()
+                rows.append((
+                    v, vector[v], s["rows_base"], s["base_files"],
+                    s["delta_files"], s["tombstone_files"], s["num_buckets"],
+                ))
+            return spark.createDataFrame(
+                rows,
+                "partition string, pinned_version int, rows_base long, "
+                "base_files int, delta_files int, tombstone_files int, "
+                "num_buckets int",
+            )
+        if kind == "files":
+            frames = [
+                self.partition_table(v)
+                .metadata_df(spark, "files")
+                .select(F.lit(v).alias("partition"), "*")
+                for v in sorted(vector)
+            ]
+            if not frames:
+                return spark.createDataFrame(
+                    [],
+                    "partition string, bucket int, kind string, path string, "
+                    "size_bytes long, modified_at double",
+                )
+            return reduce(DataFrame.unionByName, frames)
+        if kind == "history":
+            rows = []
+            for snap in self.history():
+                s = snap.get("summary") or {}
+                touched = s.get("touched_partitions") or s.get("dropped")
+                rows.append((
+                    snap["version"], snap.get("parent"),
+                    snap.get("committed_at"), s.get("operation"),
+                    len(snap.get("partitions") or {}),
+                    ",".join(touched) if touched else None,
+                ))
+            return spark.createDataFrame(
+                rows,
+                "version int, parent int, committed_at double, "
+                "operation string, num_partitions int, "
+                "touched_partitions string",
+            )
+        raise ValueError(
+            f"unknown metadata kind {kind!r}: expected "
+            "files/history/partitions"
+        )
+
     def max_lsn(self, spark: SparkSession) -> int:
         vector = self.partitions()
         if not vector:

@@ -627,3 +627,24 @@ def test_recreated_partition_does_not_resurrect_dropped_rows(spark, tmp_path):
         _events(spark, [(2, 1, 7, "insert", "fresh")]), str(tmp_path / "w"), t)
     t.merge_prebucketed(spark, wal)
     assert _state(t, spark) == {(2, 1): "fresh", (5, 3): "yz"}
+
+
+def test_metadata_frames_tree(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    t.merge(_events(spark, [(3, 2, 3, "insert", "c")]), mode="mor")
+    parts = {r["partition"]: r for r in
+             t.metadata_df(spark, "partitions").collect()}
+    assert set(parts) == {"2024-01-01", "2024-01-02"}
+    assert parts["2024-01-01"]["rows_base"] == 1
+    assert parts["2024-01-02"]["delta_files"] >= 1  # pending MOR delta
+    assert parts["2024-01-02"]["pinned_version"] == t.partitions()["2024-01-02"]
+    files = t.metadata_df(spark, "files").collect()
+    assert all(f"p={r['partition']}" in r["path"] for r in files)
+    assert {r["kind"] for r in files} == {"base", "delta"}
+    hist = {r["version"]: r for r in t.metadata_df(spark, "history").collect()}
+    assert hist[2]["operation"] == "merge"
+    assert hist[2]["touched_partitions"] == "2024-01-02"
+    assert hist[2]["num_partitions"] == 2
+    with pytest.raises(ValueError, match="unknown metadata"):
+        t.metadata_df(spark, "nope")
