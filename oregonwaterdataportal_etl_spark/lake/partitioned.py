@@ -868,6 +868,42 @@ class PartitionedLakeTable:
                 report["vacuum"] = f"{n} root snapshots > {policy.keep_snapshots}; removed {removed} files"
         return report
 
+    def delete_where(self, spark: SparkSession, condition) -> dict[str, dict]:
+        """Cross-partition predicate delete — the erasure case
+        ``drop_partitions`` cannot serve (a GDPR subject's rows live on
+        MANY days; whole-day drops are the wrong shape). Fans the
+        condition out to every live child (each child resolves its own
+        matches and merges tombstoned deletes at footer-derived
+        max_lsn+1 — LakeTable.delete_where semantics exactly), then
+        pins the new vector in one root commit. Children with no
+        matching rows commit nothing. Returns {partition: merge counts}
+        for partitions that changed."""
+        vector = self.partitions()
+        results: dict[str, dict] = {}
+        pinned: dict[str, int] = {}
+        for v in sorted(vector):
+            child = self.partition_table(v)
+            res = child.delete_where(spark, condition)
+            if res.rows_deleted or res.rows_dropped:
+                results[v] = res.as_dict()
+            pinned[v] = child.current_version()
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            for v, ver in pinned.items():
+                if v in parts:
+                    parts[v] = max(ver, parts[v])
+            s["partitions"] = parts
+            s["summary"] = {
+                "operation": "delete-where",
+                "touched_partitions": sorted(results),
+            }
+            return s
+
+        if any(pinned[v] != vector.get(v) for v in pinned):
+            self._commit_root(mutate)
+        return results
+
     def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
         """Tree-level metadata frames (Iceberg metadata-tables analog,
         same contract as LakeTable.metadata_df — manifests + os.stat

@@ -648,3 +648,20 @@ def test_metadata_frames_tree(spark, tmp_path):
     assert hist[2]["num_partitions"] == 2
     with pytest.raises(ValueError, match="unknown metadata"):
         t.metadata_df(spark, "nope")
+
+
+def test_delete_where_cross_partition(spark, tmp_path):
+    """GDPR-shaped erasure: one subject's rows live on many days."""
+    t = _create(tmp_path)
+    t.merge(_events(spark, [
+        (7, 1, 1, "insert", "subj"), (7, 2, 2, "insert", "subj"),
+        (8, 1, 3, "insert", "keep"), (7, 3, 4, "insert", "subj"),
+    ]))
+    res = t.delete_where(spark, F.col("id") == 7)
+    assert sorted(res) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert _state(t, spark) == {(8, 1): "keep"}
+    # stale replay of an erased row cannot resurrect (tombstones)
+    t.merge(_events(spark, [(7, 1, 1, "insert", "subj")]))
+    assert _state(t, spark) == {(8, 1): "keep"}
+    # idempotent: second call touches nothing
+    assert t.delete_where(spark, F.col("id") == 7) == {}
