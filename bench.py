@@ -231,6 +231,34 @@ def bench_cdc(spark, workdir: str) -> dict:
     zx_table.merge_prebucketed(spark, wal_dir)
     incr_zx_elapsed = time.perf_counter() - t0
 
+    # time-partitioned incremental apply: the same 10% window through
+    # the day-routed zero-exchange tree (days(ts) x bucket(key) —
+    # BENCH.md §10's aged-table steady state). The generator's ts is
+    # lsn-derived seconds, so the base spans ~23 days and the window
+    # lands on the last ~2 — the real routing shape. Producer WAL
+    # writes untimed, as for the flat zx path above.
+    from oregonwaterdataportal_etl_spark.lake import (
+        PartitionedLakeTable,
+        write_partitioned_wal,
+    )
+
+    pt_table = PartitionedLakeTable.create(
+        os.path.join(workdir, "table_pt"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        partition_col="ts",
+        num_buckets=8,
+        dict_cols=DICT_COLS,
+    )
+    pwal = os.path.join(workdir, "pwal")
+    pt_table.merge_prebucketed(
+        spark, write_partitioned_wal(changes, pwal, pt_table)
+    )
+    pt_batch = write_partitioned_wal(incr, pwal, pt_table)
+    t0 = time.perf_counter()
+    pt_table.merge_prebucketed(spark, pt_batch)
+    incr_pt_elapsed = time.perf_counter() - t0
+
     # envelope front-end decode: the incremental window wrapped as
     # wire JSON (producer cost, untimed); timed = parse + quarantine +
     # transaction gate over the wire (one from_json, one txn-window)
@@ -257,6 +285,8 @@ def bench_cdc(spark, workdir: str) -> dict:
         "envelope_ready_rows": n_ready,
         "cdc_incr_zx_apply_sec": round(incr_zx_elapsed, 3),
         "cdc_incr_zx_events_per_sec": round(incr_events / incr_zx_elapsed, 1),
+        "cdc_incr_pt_apply_sec": round(incr_pt_elapsed, 3),
+        "cdc_incr_pt_events_per_sec": round(incr_events / incr_pt_elapsed, 1),
         "cdc_apply_sec": round(elapsed, 3),
         "cdc_events": CDC_EVENTS,
         "cdc_events_per_sec": round(CDC_EVENTS / elapsed, 1),
@@ -367,7 +397,7 @@ def main() -> None:
                 for k in (
                     "cdc_apply_sec", "cdc_mor_apply_sec",
                     "cdc_incr_apply_sec", "cdc_incr_mor_apply_sec",
-                    "cdc_incr_zx_apply_sec",
+                    "cdc_incr_zx_apply_sec", "cdc_incr_pt_apply_sec",
                 ):
                     c, b = best(cur_draws, k), best(bases, k)
                     if c and b:
