@@ -106,11 +106,20 @@ def start_cdc_stream_zx(
 
     plan_log: optional list; each applied batch appends its executed
     resolve plan string (test hook for the zero-Exchange pin).
+
+    ``table`` may also be a PartitionedLakeTable: each micro-batch is
+    then written as a DAY-PARTITIONED bucketed WAL
+    (lake.partitioned.write_partitioned_wal) and applied through the
+    tree's merge_prebucketed — per-day plans stay Exchange-free and
+    the same manifest/LSN-guard exactly-once story holds.
     """
     import shutil
 
     from ..cdc.manifests import batch_id_for_window
     from ..lake.bucketed import write_bucketed_wal
+    from ..lake.partitioned import write_partitioned_wal
+
+    is_tree = hasattr(table, "partition_table")
 
     # start-of-stream sweep: no batch is in flight yet, so every
     # surviving batch-* subdir is a crash orphan (its window either
@@ -142,7 +151,12 @@ def start_cdc_stream_zx(
         if manifests.is_committed(bid):
             return
         manifests.begin(bid, bounds["lo"], bounds["hi"])
-        batch_dir = write_bucketed_wal(batch_df, wal_dir, num_buckets, key_cols)
+        if is_tree:
+            batch_dir = write_partitioned_wal(batch_df, wal_dir, table)
+        else:
+            batch_dir = write_bucketed_wal(
+                batch_df, wal_dir, num_buckets, key_cols
+            )
         result = table.merge_prebucketed(
             batch_df.sparkSession, batch_dir, _plan_out=plan_log
         )

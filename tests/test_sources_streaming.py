@@ -270,3 +270,66 @@ def test_streaming_zx_folds_pending_mor_deltas(spark, tmp_path):
     a = t_zx.read(spark).orderBy("conv_id", "turn_idx").collect()
     b = t_batch.read(spark).orderBy("conv_id", "turn_idx").collect()
     assert a == b and len(a) > 0
+
+
+def test_streaming_zx_partitioned_tree(spark, tmp_path):
+    """start_cdc_stream_zx pointed at a PartitionedLakeTable: each
+    micro-batch rides a day-partitioned WAL through the tree's
+    merge_prebucketed — per-day plans Exchange-free, final state equal
+    to the ordinary tree batch path, checkpoint restart resumes."""
+    from pyspark.sql import functions as F
+
+    from oregonwaterdataportal_etl_spark.lake import PartitionedLakeTable
+
+    def spread_days(df):
+        # conv-stable day offset so routing is deterministic per key
+        return df.withColumn(
+            "ts", F.expr("timestampadd(DAY, int(crc32(conv_id) % 3), ts)")
+        )
+
+    c1 = spread_days(generate_changes(spark, n_events=2000, n_convs=120, seed=31))
+    c2 = spread_days(generate_changes(
+        spark, n_events=1200, n_convs=120, seed=32, lsn_start=2000))
+    stream_dir = tmp_path / "pzstream"
+    c1.coalesce(1).write.mode("append").parquet(str(stream_dir))
+    c2.coalesce(1).write.mode("append").parquet(str(stream_dir))
+
+    tree = PartitionedLakeTable.create(
+        str(tmp_path / "t_ptzx"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], partition_col="ts", num_buckets=4,
+    )
+    manifests = ManifestLog(str(tmp_path / "pzman"))
+    wal_dir = str(tmp_path / "pzwal")
+    plans: list[str] = []
+    q = start_cdc_stream_zx(
+        spark, str(stream_dir), tree, str(tmp_path / "pzckpt"), manifests,
+        wal_dir, available_now=True, plan_log=plans, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert len(tree.partitions()) >= 2  # the stream really spread days
+    assert plans and all("Exchange" not in p for p in plans)
+    assert not [e for e in os.listdir(wal_dir) if e.startswith("batch-")]
+
+    twin = PartitionedLakeTable.create(
+        str(tmp_path / "t_pttwin"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], partition_col="ts", num_buckets=4,
+    )
+    twin.merge(spark.read.parquet(str(stream_dir)))
+    a = tree.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    b = twin.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    assert a == b and len(a) > 0
+
+    # restart: committed batches no-op, new file lands
+    c3 = spread_days(generate_changes(
+        spark, n_events=800, n_convs=120, seed=33, lsn_start=3200))
+    c3.localCheckpoint(eager=True).coalesce(1).write.mode("append").parquet(
+        str(stream_dir))
+    q2 = start_cdc_stream_zx(
+        spark, str(stream_dir), tree, str(tmp_path / "pzckpt"), manifests,
+        wal_dir, available_now=True,
+    )
+    q2.awaitTermination(180)
+    twin.merge(spark.read.parquet(str(stream_dir)).filter(F.col("lsn") >= 3200))
+    a = tree.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    b = twin.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    assert a == b
