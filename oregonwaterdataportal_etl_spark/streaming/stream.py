@@ -293,10 +293,19 @@ def start_envelope_stream(
                 manifests.begin(bid, bounds["lo"], bounds["hi"])
                 if zero_exchange:
                     from ..lake.bucketed import write_bucketed_wal
+                    from ..lake.partitioned import write_partitioned_wal
 
-                    batch_dir = write_bucketed_wal(
-                        ready, wal_dir, zx_buckets, zx_keys
-                    )
+                    if hasattr(table, "partition_table"):
+                        # PartitionedLakeTable: day-routed WAL, per-day
+                        # exchange-free resolve (same contract as
+                        # start_cdc_stream_zx's tree path)
+                        batch_dir = write_partitioned_wal(
+                            ready, wal_dir, table
+                        )
+                    else:
+                        batch_dir = write_bucketed_wal(
+                            ready, wal_dir, zx_buckets, zx_keys
+                        )
                     result = table.merge_prebucketed(
                         sess, batch_dir, _plan_out=plan_log
                     )

@@ -501,3 +501,53 @@ def test_envelope_stream_zero_exchange(spark, tmp_path):
     assert plans, "expected captured per-batch resolve plans"
     for p in plans:
         assert "Exchange" not in p
+
+
+def test_envelope_stream_zero_exchange_partitioned(spark, tmp_path):
+    """The whole wire->lake pipeline onto a TIME-PARTITIONED table with
+    zero_exchange=True: ready rows ride a day-routed WAL into per-day
+    exchange-free resolves; state equals the batch path on a twin tree."""
+    from oregonwaterdataportal_etl_spark.cdc import ManifestLog
+    from oregonwaterdataportal_etl_spark.lake import PartitionedLakeTable
+    from oregonwaterdataportal_etl_spark.streaming import start_envelope_stream
+
+    changes = generate_changes(spark, 600, 60, seed=41).withColumn(
+        "ts", F.expr("timestampadd(DAY, int(crc32(conv_id) % 3), ts)")
+    )
+    raw = wrap_envelopes(changes)
+    wire_dir = str(tmp_path / "wire")
+    raw.coalesce(1).write.parquet(os.path.join(wire_dir, "f1"))
+
+    tree = PartitionedLakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], partition_col="ts", num_buckets=4,
+    )
+    plans: list[str] = []
+    q = start_envelope_stream(
+        spark,
+        os.path.join(wire_dir, "*"),
+        tree,
+        str(tmp_path / "ckpt"),
+        ManifestLog(str(tmp_path / "mf")),
+        TRANSCRIPT_SCHEMA,
+        dlq_dir=str(tmp_path / "dlq"),
+        pending_dir=str(tmp_path / "pend"),
+        zero_exchange=True,
+        wal_dir=str(tmp_path / "wal"),
+        plan_log=plans,
+    )
+    q.awaitTermination(180)
+    assert len(tree.partitions()) >= 2
+    assert plans and all("Exchange" not in p for p in plans)
+
+    twin = PartitionedLakeTable.create(
+        str(tmp_path / "twin"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], partition_col="ts", num_buckets=4,
+    )
+    ready, _dlq, _still = ingest_envelopes(
+        spark.read.parquet(os.path.join(wire_dir, "*")), TRANSCRIPT_SCHEMA
+    )
+    twin.merge(ready)
+    a = tree.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    b = twin.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    assert a == b and len(a) > 0
