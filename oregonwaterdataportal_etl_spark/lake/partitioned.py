@@ -868,6 +868,51 @@ class PartitionedLakeTable:
                 report["vacuum"] = f"{n} root snapshots > {policy.keep_snapshots}; removed {removed} files"
         return report
 
+    def clone_to(self, dest: str, version: int | None = None) -> "PartitionedLakeTable":
+        """Deep snapshot export of the whole tree (same contract as
+        LakeTable.clone_to): every partition pinned by the chosen ROOT
+        version is deep-cloned at its pinned child version, and the
+        clone's root chain starts fresh at v0+v1 with the cloned
+        children pinned at their own CURRENT (= cloned) versions.
+        Dropped partitions are not cloned (they are not state at that
+        root version); the clone shares no files with the source, so
+        source vacuums cannot disturb it."""
+        v = self.current_version() if version is None else version
+        snap = self.snapshot(v)
+        clone = PartitionedLakeTable(dest)
+        if clone.exists():
+            raise ValueError(f"table already exists at {dest}")
+        os.makedirs(clone.meta_dir, exist_ok=True)
+        pointer = None if snap.get("commit_mode") == "rename-free" else "CURRENT"
+        base = {
+            k: snap[k]
+            for k in (
+                "schema", "key_cols", "partition_col", "transform",
+                "num_buckets", "dict_cols", "tiebreak_family", "commit_mode",
+            )
+        }
+        vector = snap.get("partitions") or {}
+        pinned: dict[str, int] = {}
+        for val, child_v in sorted(vector.items()):
+            cloned = self.partition_table(val).clone_to(
+                clone.partition_dir(val), version=child_v
+            )
+            pinned[val] = cloned.current_version()
+        versioned_commit(
+            clone.meta_dir, "snap-00000000.json", 0,
+            {**base, "version": 0, "parent": None, "partitions": {},
+             "summary": {"operation": "create"}},
+            pointer_name=pointer,
+        )
+        versioned_commit(
+            clone.meta_dir, "snap-00000001.json", 1,
+            {**base, "version": 1, "parent": 0, "partitions": pinned,
+             "summary": {"operation": "clone",
+                         "source": self.path, "source_version": v}},
+            pointer_name=pointer,
+        )
+        return clone
+
     def delete_where(self, spark: SparkSession, condition) -> dict[str, dict]:
         """Cross-partition predicate delete — the erasure case
         ``drop_partitions`` cannot serve (a GDPR subject's rows live on

@@ -665,3 +665,23 @@ def test_delete_where_cross_partition(spark, tmp_path):
     assert _state(t, spark) == {(8, 1): "keep"}
     # idempotent: second call touches nothing
     assert t.delete_where(spark, F.col("id") == 7) == {}
+
+
+def test_clone_tree_is_deep_and_independent(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    t.merge(_events(spark, [(1, 1, 3, "update", "a2")]), mode="mor")  # pending delta
+    t.drop_partitions(values=["2024-01-02"])
+    snap_state = _state(t, spark)
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert _state(c, spark) == snap_state == {(1, 1): "a2"}
+    assert sorted(c.partitions()) == ["2024-01-01"]  # dropped day not cloned
+    # independence: mutate + vacuum the source — clone unaffected
+    t.merge(_events(spark, [(1, 1, 9, "update", "zz")]))
+    t.compact(spark)
+    t.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert _state(c, spark) == snap_state
+    # clone is writable on its own chain
+    c.merge(_events(spark, [(5, 5, 10, "insert", "new")]))
+    assert _state(c, spark) == {(1, 1): "a2", (5, 5): "new"}
+    assert _state(t, spark) == {(1, 1): "zz"}
