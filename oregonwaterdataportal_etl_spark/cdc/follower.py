@@ -102,15 +102,45 @@ def make_replica_sink(
         from ..lake.table import _files_max_lsn
 
         snap = source.snapshot(to)
-        files = [
-            f
-            for coll in (
-                snap["files"], snap.get("tombstones", {}),
-                snap.get("deltas", {}),
+        if hasattr(source, "partition_table"):
+            # PartitionedLakeTable source: dropped-partition deletes
+            # arrive with null _commit_lsn and must inherit an LSN
+            # STRICTLY ABOVE everything the replica has applied — the
+            # dropped rows themselves may hold the table's highest
+            # LSNs, so the watermark must span the FROM vector too
+            # (the to-vector no longer references them), and +1 so the
+            # delete wins outright instead of tying into the op-aware
+            # tie-break.
+            vecs = [snap.get("partitions") or {}]
+            if frm > 0:
+                vecs.append(source.snapshot(frm).get("partitions") or {})
+            files = [
+                f
+                for vec in vecs
+                for val, cv in vec.items()
+                for key in ("files", "tombstones", "deltas")
+                for fl in (
+                    source.partition_table(val).snapshot(cv).get(key) or {}
+                ).values()
+                for f in fl
+            ]
+            wm = _files_max_lsn(files)
+            replica.merge(
+                changelog_to_events(
+                    changes, fallback_lsn=(wm if wm is not None else 0) + 1
+                )
             )
-            for fl in coll.values()
-            for f in fl
-        ]
+            return
+        else:
+            files = [
+                f
+                for coll in (
+                    snap["files"], snap.get("tombstones", {}),
+                    snap.get("deltas", {}),
+                )
+                for fl in coll.values()
+                for f in fl
+            ]
         wm = _files_max_lsn(files)
         if wm is None:
             wm = (

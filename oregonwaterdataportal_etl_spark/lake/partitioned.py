@@ -243,6 +243,45 @@ class PartitionedLakeTable:
 
         return retry_on_conflict(attempt)
 
+    def _pin_commit(
+        self,
+        pinned: dict[str, int],
+        summary: dict,
+        add_missing: bool = False,
+        schema_fields: dict | None = None,
+    ) -> dict:
+        """THE vector-pin commit, shared by every fan-out operation:
+        max-merge ``pinned`` child versions into a fresh root read
+        (children are monotone, so max is the correct join under
+        concurrent-writer retries). ``add_missing`` (merge routes)
+        also re-adds values absent from the vector and clears their
+        drop records; maintenance routes only update present values.
+        ``schema_fields`` appends unseen payload fields to the root
+        schema (additive child evolution)."""
+
+        def mutate(s):
+            parts = dict(s.get("partitions") or {})
+            dropped_at = dict(s.get("dropped_at") or {})
+            for v, ver in pinned.items():
+                if add_missing or v in parts:
+                    parts[v] = max(ver, parts.get(v, -1))
+                    if add_missing:
+                        dropped_at.pop(v, None)
+            s["partitions"] = parts
+            s["dropped_at"] = dropped_at
+            if schema_fields:
+                root_schema = T.StructType.fromJson(json.loads(s["schema"]))
+                have = {f.name for f in root_schema.fields}
+                new = [f for n, f in schema_fields.items() if n not in have]
+                if new:
+                    s["schema"] = json.dumps(
+                        T.StructType(root_schema.fields + new).jsonValue()
+                    )
+            s["summary"] = summary
+            return s
+
+        return self._commit_root(mutate)
+
     # ------------------------------------------------------ children
     def partition_dir(self, value: str) -> str:
         return os.path.join(self.path, f"p={value}")
@@ -263,8 +302,26 @@ class PartitionedLakeTable:
             # the old versions stay on the chain for pre-drop root time
             # travel (found by the chaos-schedule property: a
             # drop -> re-merge sequence read back the dropped rows).
+            #
+            # ARBITRATION between concurrent re-creators: drop records
+            # the child version at drop time (dropped_at); only a chain
+            # still parked AT that version needs the truncate. A chain
+            # already beyond it was reincarnated by another writer —
+            # truncating again would wipe THAT writer's committed rows
+            # (review finding). The truncate commit itself arbitrates
+            # the remaining tie: both racers target the same version
+            # name and the loser gets CommitConflictError.
             cs = child.snapshot()
-            if cs.get("files") or cs.get("deltas") or cs.get("tombstones"):
+            da = (snap.get("dropped_at") or {}).get(value)
+            if da is not None:
+                need = cs["version"] <= da
+            else:
+                # no drop record (pre-upgrade manifest): fall back to
+                # the populated-chain heuristic
+                need = bool(
+                    cs.get("files") or cs.get("deltas") or cs.get("tombstones")
+                )
+            if need:
                 new = dict(cs)
                 new.pop("committed_at", None)
                 new.update(
@@ -279,14 +336,17 @@ class PartitionedLakeTable:
                 try:
                     child._commit(new)
                 except Exception:
-                    # a concurrent re-creator may have truncated first;
-                    # only a still-populated chain is an error
                     fresh = child.snapshot()
-                    if (
-                        fresh.get("files")
-                        or fresh.get("deltas")
-                        or fresh.get("tombstones")
-                    ):
+                    advanced = (
+                        fresh["version"] > da
+                        if da is not None
+                        else not (
+                            fresh.get("files")
+                            or fresh.get("deltas")
+                            or fresh.get("tombstones")
+                        )
+                    )
+                    if not advanced:
                         raise
         return child
 
@@ -396,6 +456,10 @@ class PartitionedLakeTable:
         snap = self.snapshot()
         pexpr = self._partition_expr(snap)
         pstats = updates.groupBy(pexpr.alias("__p")).count().collect()
+        if not pstats:
+            # empty batch: no child changed, so no root snapshot either
+            # (repeated empty applies must not churn root history)
+            return PartitionedMergeResult(version=snap["version"])
         if any(r["__p"] is None for r in pstats):
             n = sum(r["count"] for r in pstats if r["__p"] is None)
             raise ValueError(
@@ -439,31 +503,19 @@ class PartitionedLakeTable:
             for f in self.partition_table(v).schema().fields:
                 evolved_fields.setdefault(f.name, f)
 
-        def mutate(s):
-            parts = dict(s.get("partitions") or {})
-            for v, ver in pinned.items():
-                # max-merge: a concurrent writer may have advanced the
-                # child past our pin; the vector must stay monotone
-                parts[v] = max(ver, parts.get(v, -1))
-            s["partitions"] = parts
-            root_schema = T.StructType.fromJson(json.loads(s["schema"]))
-            have = {f.name for f in root_schema.fields}
-            new = [f for n, f in evolved_fields.items() if n not in have]
-            if new:
-                s["schema"] = json.dumps(
-                    T.StructType(root_schema.fields + new).jsonValue()
-                )
-            s["summary"] = {
+        out.version = self._pin_commit(
+            pinned,
+            {
                 "operation": "merge",
                 "mode": mode,
                 "touched_partitions": values,
                 **{k: getattr(out, k) for k in (
                     "rows_inserted", "rows_updated", "rows_deleted",
                     "rows_noop", "rows_dropped", "rows_delta")},
-            }
-            return s
-
-        out.version = self._commit_root(mutate)["version"]
+            },
+            add_missing=True,
+            schema_fields=evolved_fields,
+        )["version"]
         return out
 
     def merge_prebucketed(
@@ -495,6 +547,15 @@ class PartitionedLakeTable:
                 f"WAL carries a null/default {snap['partition_col']!r} "
                 "partition; change events must carry a routable value"
             )
+        if snap["transform"] == "identity":
+            # the same gate merge() enforces: an unsafe identity value
+            # reaches the WAL hive-ESCAPED (e.g. p=a%2Fb), and adopting
+            # the escaped spelling as the partition value would split
+            # routing between two spellings forever — '%' is outside
+            # the safe charset, so escapes are rejected here too
+            bad = [v for v in values if not _SAFE_VALUE.match(v)]
+            if bad:
+                raise ValueError(f"unsafe identity partition values: {bad[:5]}")
         if not values:
             from .bucketed import collect_wal_files
 
@@ -524,19 +585,13 @@ class PartitionedLakeTable:
                       "rows_noop", "rows_dropped", "rows_delta"):
                 setattr(out, k, getattr(out, k) + getattr(res, k))
 
-        def mutate(s):
-            parts = dict(s.get("partitions") or {})
-            for v, ver in pinned.items():
-                parts[v] = max(ver, parts.get(v, -1))
-            s["partitions"] = parts
-            s["summary"] = {
-                "operation": "merge_prebucketed",
-                "touched_partitions": values,
-            }
-            return s
-
         if pinned:
-            out.version = self._commit_root(mutate)["version"]
+            out.version = self._pin_commit(
+                pinned,
+                {"operation": "merge_prebucketed",
+                 "touched_partitions": values},
+                add_missing=True,
+            )["version"]
         else:
             out.version = snap["version"]
         return out
@@ -615,10 +670,15 @@ class PartitionedLakeTable:
         VECTORS, emit each changed child's own read_changes (cost
         scales with changed partitions, not table age). A partition
         present in from and absent in to was DROPPED by retention: its
-        net surviving rows are emitted as deletes (each carrying its
-        own commit LSN via the child's from-zero changelog) — the
-        Iceberg changelog-scan contract for dropped partitions, so a
-        downstream replica converges through retention sweeps too."""
+        net surviving rows are emitted as deletes with a NULL
+        ``_commit_lsn`` — the expired-tombstone convention, so a
+        consumer substitutes its watermark (ChangelogFollower's
+        fallback_lsn) and the delete WINS the replica's LWW merge.
+        (Carrying the row's own LSN would tie against the already-
+        applied row and lose for ~half the keys via the op-aware
+        tie-break — review finding.) The Iceberg changelog-scan
+        contract for dropped partitions: a downstream replica
+        converges through retention sweeps too."""
         v2 = self.current_version() if to_version is None else to_version
         vec1 = {} if from_version == 0 else (
             self.snapshot(from_version).get("partitions") or {}
@@ -644,9 +704,9 @@ class PartitionedLakeTable:
             else:
                 net = child.read_changes(spark, 0, vec1[v])
                 frames.append(
-                    net.filter(F.col("_change_type") != "delete").withColumn(
-                        "_change_type", F.lit("delete")
-                    )
+                    net.filter(F.col("_change_type") != "delete")
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_lsn", F.lit(None).cast("long"))
                 )
         if not frames:
             schema = T.StructType.fromJson(json.loads(self.snapshot(v2)["schema"]))
@@ -686,11 +746,26 @@ class PartitionedLakeTable:
         if not dropped:
             return []
 
+        # record the child version at drop time (the pin, or the
+        # chain's actual CURRENT if a crashed writer advanced it) —
+        # the reincarnation arbitration point (_ensure_partition)
+        drop_marks = {}
+        for v in dropped:
+            try:
+                drop_marks[v] = max(
+                    vector[v], self.partition_table(v).current_version()
+                )
+            except (OSError, ValueError):
+                drop_marks[v] = vector[v]
+
         def mutate(s):
             parts = dict(s.get("partitions") or {})
+            dropped_at = dict(s.get("dropped_at") or {})
             for v in dropped:
                 parts.pop(v, None)
+                dropped_at[v] = drop_marks[v]
             s["partitions"] = parts
+            s["dropped_at"] = dropped_at
             s["summary"] = {"operation": "drop_partitions", "dropped": dropped}
             return s
 
@@ -723,16 +798,26 @@ class PartitionedLakeTable:
             value = name[2:]
             full = os.path.join(self.path, name)
             if value not in pinned:
-                # unreferenced by every retained root: provably dropped
-                # (or an in-flight creator — age-gate via the child's
-                # own meta mtime, same contract as LakeTable.vacuum)
+                # unreferenced by every retained root — but ALWAYS
+                # age-gated: a concurrent merge may be re-creating this
+                # very partition (child committed, root commit in
+                # flight), and reaping it would wedge that writer's
+                # vector on a deleted directory (review finding — the
+                # expired-manifest shortcut that skipped the gate is
+                # gone). Same in-flight-writer contract as
+                # LakeTable.vacuum's orphan grace.
                 try:
-                    age = now - os.path.getmtime(full)
+                    # _meta mtime moves on every child commit; the top
+                    # dir's does not — gate on the freshest of the two
+                    mt = os.path.getmtime(full)
+                    try:
+                        mt = max(mt, os.path.getmtime(os.path.join(full, "_meta")))
+                    except OSError:
+                        pass
+                    age = now - mt
                 except OSError:
                     continue
-                if age >= orphan_grace_seconds or any(
-                    value in (s.get("partitions") or {}) for s in expired
-                ):
+                if age >= orphan_grace_seconds:
                     removed += sum(len(fs) for _, _, fs in os.walk(full))
                     shutil.rmtree(full, ignore_errors=True)
                 continue
@@ -754,35 +839,32 @@ class PartitionedLakeTable:
 
     # -------------------------------------------------- maintenance
     def _fanout(self, label: str, fn) -> dict[str, int]:
-        """Run ``fn(child) -> int`` over live partitions and pin the
-        resulting child versions in one root commit."""
+        """Run ``fn(child)`` over live partitions and pin the resulting
+        child versions in one root commit. Returns {value: fn result}
+        (NOTE: for compact/rebucket the child result is the child's new
+        snapshot VERSION — never sum these; roll up counts from stats()
+        or the root version instead)."""
         snap = self.snapshot()
         vector = snap.get("partitions") or {}
-        counts: dict[str, int] = {}
+        results: dict[str, int] = {}
         pinned: dict[str, int] = {}
         for v in sorted(vector):
             child = self.partition_table(v)
-            counts[v] = fn(child)
+            results[v] = fn(child)
             pinned[v] = child.current_version()
-
-        def mutate(s):
-            parts = dict(s.get("partitions") or {})
-            for v, ver in pinned.items():
-                if v in parts:
-                    parts[v] = max(ver, parts[v])
-            s["partitions"] = parts
-            s["summary"] = {"operation": label, "counts": counts}
-            return s
-
         if any(pinned[v] != vector.get(v) for v in pinned):
-            self._commit_root(mutate)
-        return counts
+            self._pin_commit(pinned, {"operation": label, "results": results})
+        return results
 
     def compact(self, spark: SparkSession, **kw) -> int:
-        return sum(self._fanout("compact", lambda c: c.compact(spark, **kw)).values())
+        """Fan-out compaction; returns the ROOT version after the pass
+        (mirrors LakeTable.compact returning the new snapshot version)."""
+        self._fanout("compact", lambda c: c.compact(spark, **kw))
+        return self.current_version()
 
     def expire_tombstones(self, spark: SparkSession, below_lsn: int | None = None,
                           offsets=None) -> int:
+        """Returns tombstone rows removed across all partitions."""
         return sum(
             self._fanout(
                 "expire_tombstones",
@@ -792,7 +874,9 @@ class PartitionedLakeTable:
         )
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int, **kw) -> int:
-        rows = self._fanout(
+        """Fan-out bucket-count evolution; returns the ROOT version
+        after the layout commit (mirrors LakeTable.rebucket)."""
+        self._fanout(
             "rebucket", lambda c: c.rebucket(spark, new_num_buckets, **kw)
         )
 
@@ -802,7 +886,7 @@ class PartitionedLakeTable:
             return s
 
         self._commit_root(mutate)
-        return sum(rows.values())
+        return self.current_version()
 
     def maintain(self, spark: SparkSession, policy) -> dict:
         """Policy-driven upkeep for the whole partition tree — what a
@@ -831,11 +915,35 @@ class PartitionedLakeTable:
         if policy.keep_partitions is not None:
             live = sorted(self.partitions())
             if len(live) > policy.keep_partitions:
-                cutoff = live[-policy.keep_partitions]
-                dropped = self.drop_partitions(before=cutoff)
+                # slice, not live[-K] (K=0 would index live[0] and
+                # silently invert "retain zero" into "retain all")
+                to_drop = live[: len(live) - policy.keep_partitions]
+                dropped = self.drop_partitions(values=to_drop)
                 if dropped:
                     report["drop_partitions"] = dropped
-        child_policy = replace(policy, keep_snapshots=None)
+        # the bucket count is a ROOT-level layout property: a child
+        # rebucketing alone would diverge from write_partitioned_wal's
+        # root-derived bucketing and silently mis-route zero-exchange
+        # merges (review finding) — so max_rows_per_bucket is decided
+        # HERE for the whole tree and stripped from the child policy
+        if policy.max_rows_per_bucket:
+            worst_rows = 0
+            for v in sorted(self.partitions()):
+                s = self.partition_table(v).stats()
+                worst_rows = max(worst_rows, s["rows_base"])
+            nb = self.snapshot()["num_buckets"]
+            if nb and worst_rows / nb > policy.max_rows_per_bucket:
+                target = nb
+                while worst_rows / target > policy.max_rows_per_bucket:
+                    target *= 2
+                self.rebucket(spark, target)
+                report["rebucket"] = (
+                    f"worst partition holds {worst_rows} rows; "
+                    f"{nb} -> {target} buckets tree-wide"
+                )
+        child_policy = replace(
+            policy, keep_snapshots=None, max_rows_per_bucket=None
+        )
         vector = self.partitions()
         pinned: dict[str, int] = {}
         for v in sorted(vector):
@@ -844,19 +952,10 @@ class PartitionedLakeTable:
             if acted:
                 report[f"p={v}"] = acted
             pinned[v] = child.current_version()
-
-        def mutate(s):
-            parts = dict(s.get("partitions") or {})
-            for v, ver in pinned.items():
-                if v in parts:
-                    parts[v] = max(ver, parts[v])
-            s["partitions"] = parts
-            s["summary"] = {"operation": "maintain",
-                            "concerns": sorted(report)}
-            return s
-
         if any(pinned[v] != vector.get(v) for v in pinned):
-            self._commit_root(mutate)
+            self._pin_commit(
+                pinned, {"operation": "maintain", "concerns": sorted(report)}
+            )
         if policy.keep_snapshots is not None:
             current = self.current_version()
             n = sum(1 for s in self.history() if s["version"] <= current)
@@ -932,21 +1031,12 @@ class PartitionedLakeTable:
             if res.rows_deleted or res.rows_dropped:
                 results[v] = res.as_dict()
             pinned[v] = child.current_version()
-
-        def mutate(s):
-            parts = dict(s.get("partitions") or {})
-            for v, ver in pinned.items():
-                if v in parts:
-                    parts[v] = max(ver, parts[v])
-            s["partitions"] = parts
-            s["summary"] = {
-                "operation": "delete-where",
-                "touched_partitions": sorted(results),
-            }
-            return s
-
         if any(pinned[v] != vector.get(v) for v in pinned):
-            self._commit_root(mutate)
+            self._pin_commit(
+                pinned,
+                {"operation": "delete-where",
+                 "touched_partitions": sorted(results)},
+            )
         return results
 
     def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
@@ -966,10 +1056,18 @@ class PartitionedLakeTable:
         if kind == "partitions":
             rows = []
             for v in sorted(vector):
-                s = self.partition_table(v).stats()
+                # stats from the PINNED child snapshot, not the child's
+                # CURRENT — a concurrent writer's not-yet-root-committed
+                # child version must not leak into a root-consistent
+                # view (review finding)
+                cs = self.partition_table(v).snapshot(vector[v])
+                rc = cs.get("row_counts") or {}
                 rows.append((
-                    v, vector[v], s["rows_base"], s["base_files"],
-                    s["delta_files"], s["tombstone_files"], s["num_buckets"],
+                    v, vector[v], sum(rc.values()),
+                    sum(len(fl) for fl in (cs.get("files") or {}).values()),
+                    sum(len(fl) for fl in (cs.get("deltas") or {}).values()),
+                    sum(len(fl) for fl in (cs.get("tombstones") or {}).values()),
+                    cs["num_buckets"],
                 ))
             return spark.createDataFrame(
                 rows,

@@ -196,8 +196,10 @@ def test_read_changes_through_partition_drop_emits_deletes(spark, tmp_path):
     t.drop_partitions(before="2024-01-02")
     rows = t.read_changes(spark, v1).collect()
     assert {(r["id"], r["_change_type"]) for r in rows} == {(1, "delete")}
-    # each delete carries the dropped row's own commit lsn
-    assert rows[0]["_commit_lsn"] == 1
+    # NULL commit lsn = the expired-tombstone convention: the consumer
+    # substitutes its watermark so the delete WINS the replica's LWW
+    # (the row's own lsn would TIE against the already-applied row)
+    assert rows[0]["_commit_lsn"] is None
 
 
 def test_mor_mode_and_compact_fanout(spark, tmp_path):
@@ -685,3 +687,87 @@ def test_clone_tree_is_deep_and_independent(spark, tmp_path):
     c.merge(_events(spark, [(5, 5, 10, "insert", "new")]))
     assert _state(c, spark) == {(1, 1): "a2", (5, 5): "new"}
     assert _state(t, spark) == {(1, 1): "zz"}
+
+
+def test_replica_converges_through_partition_drop(spark, tmp_path):
+    """The review's headline finding, fixed: dropped-partition deletes
+    ride the changelog with NULL commit LSN and the follower's
+    watermark+1 fallback, so they WIN the replica's LWW outright —
+    every dropped row disappears from the replica, never a tie."""
+    from oregonwaterdataportal_etl_spark.cdc import OffsetLog, replicate_available
+
+    t = _create(tmp_path)
+    # dropped-day rows carry the HIGHEST lsns (the adversarial case:
+    # the surviving files' watermark is below them)
+    t.merge(_events(spark, [(i, 3, i, "insert", f"keep{i}") for i in (1, 2)]
+                    + [(i, 1, 100 + i, "insert", f"old{i}")
+                       for i in range(1, 7)]))
+    replica = LakeTable.create(
+        str(tmp_path / "replica"),
+        T.StructType(SCHEMA.fields), key_cols=["id", "ts"], num_buckets=2,
+    )
+    off = OffsetLog(str(tmp_path / "foff"), "f")
+    replicate_available(spark, t, replica, off)
+    assert replica.read(spark).count() == 8
+    t.drop_partitions(before="2024-01-02")
+    replicate_available(spark, t, replica, off)
+    got = {(r["id"], r["ts"].day) for r in replica.read(spark).collect()}
+    assert got == {(1, 3), (2, 3)}  # every dropped row erased
+
+
+def test_empty_merge_commits_nothing(spark, tmp_path):
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a")]))
+    v = t.current_version()
+    t.merge(_events(spark, [(1, 1, 0, "insert", "x")]).filter("id < 0"))
+    assert t.current_version() == v  # no root-history churn
+
+
+def test_keep_partitions_zero_drops_all(spark, tmp_path):
+    from oregonwaterdataportal_etl_spark.lake import MaintenancePolicy
+
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    report = t.maintain(spark, MaintenancePolicy(
+        max_files_per_bucket=None, max_delta_files_per_bucket=None,
+        keep_partitions=0))
+    assert sorted(report["drop_partitions"]) == ["2024-01-01", "2024-01-02"]
+    assert t.partitions() == {}
+
+
+def test_reincarnation_arbitration_under_stale_root(spark, tmp_path):
+    """A writer holding a PRE-reincarnation root snapshot must not
+    truncate a chain another writer already reincarnated (the
+    concurrent-recreate race, closed by the dropped_at record)."""
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "old")]))
+    t.drop_partitions(values=["2024-01-01"])
+    stale_root = t.snapshot()  # both writers start from this root
+    # writer B reincarnates and lands its rows + root commit
+    t.merge(_events(spark, [(2, 1, 5, "insert", "bnew")]))
+    child = t.partition_table("2024-01-01")
+    v_after_b = child.current_version()
+    # writer A, still holding the stale root, routes into the same day:
+    # it must observe B's incarnation (chain advanced past dropped_at)
+    # and NOT truncate B's committed rows
+    t._ensure_partition("2024-01-01", stale_root)
+    assert child.current_version() == v_after_b
+    assert {r["v"] for r in child.read(spark).collect()} == {"bnew"}
+
+
+def test_tree_rebucket_is_root_level_under_policy(spark, tmp_path):
+    """max_rows_per_bucket acts on the WHOLE tree (never one child):
+    every child and the root agree on the new count afterwards."""
+    from oregonwaterdataportal_etl_spark.lake import MaintenancePolicy
+
+    t = _create(tmp_path)  # num_buckets=4
+    t.merge(_events(spark, [(i, 1 + i % 2, i, "insert", f"v{i}")
+                            for i in range(1, 41)]))
+    report = t.maintain(spark, MaintenancePolicy(
+        max_files_per_bucket=None, max_delta_files_per_bucket=None,
+        max_rows_per_bucket=2))
+    assert "rebucket" in report
+    nb = t.snapshot()["num_buckets"]
+    assert nb > 4
+    for v in t.partitions():
+        assert t.partition_table(v).snapshot()["num_buckets"] == nb
