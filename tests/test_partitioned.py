@@ -771,3 +771,29 @@ def test_tree_rebucket_is_root_level_under_policy(spark, tmp_path):
     assert nb > 4
     for v in t.partitions():
         assert t.partition_table(v).snapshot()["num_buckets"] == nb
+
+
+def test_incremental_view_over_tree_with_drop(spark, tmp_path):
+    """IncrementalAggView maintains itself from the TREE's changelog
+    unchanged — including a retention drop, whose per-row deletes fold
+    the dropped rows OUT of the aggregates (a retention-aware
+    materialized view for free)."""
+    from oregonwaterdataportal_etl_spark.lake import AggSpec, IncrementalAggView
+
+    t = _create(tmp_path)
+    view = IncrementalAggView(
+        str(tmp_path / "view"), "id",
+        [AggSpec("n_days", "count"), AggSpec("chars", "sum", "length(v)")],
+    )
+    t.merge(_events(spark, [
+        (1, 1, 1, "insert", "aa"), (1, 2, 2, "insert", "bbb"),
+        (2, 1, 3, "insert", "cccc"),
+    ]))
+    view.refresh(spark, t)
+    got = {r["id"]: (r["n_days"], r["chars"]) for r in view.read(spark).collect()}
+    assert got == {1: (2, 5), 2: (1, 4)}
+    t.merge(_events(spark, [(1, 2, 4, "update", "b")]))   # 3 chars -> 1
+    t.drop_partitions(values=["2024-01-01"])              # removes (1,d1),(2,d1)
+    view.refresh(spark, t)
+    got = {r["id"]: (r["n_days"], r["chars"]) for r in view.read(spark).collect()}
+    assert got == {1: (1, 1)}  # id 2's group deleted entirely
