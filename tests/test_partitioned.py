@@ -797,3 +797,24 @@ def test_incremental_view_over_tree_with_drop(spark, tmp_path):
     view.refresh(spark, t)
     got = {r["id"]: (r["n_days"], r["chars"]) for r in view.read(spark).collect()}
     assert got == {1: (1, 1)}  # id 2's group deleted entirely
+
+
+def test_tree_to_tree_replication(spark, tmp_path):
+    """replicate_available with BOTH sides partitioned: the changelog
+    carries ts, so the replica tree routes by day on its own."""
+    from oregonwaterdataportal_etl_spark.cdc import OffsetLog, replicate_available
+
+    src = _create(tmp_path)
+    src.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    replica = PartitionedLakeTable.create(
+        str(tmp_path / "rep"), SCHEMA, key_cols=["id"],
+        partition_col="ts", num_buckets=2,  # bucket counts may differ
+    )
+    off = OffsetLog(str(tmp_path / "o"), "f")
+    replicate_available(spark, src, replica, off)
+    assert _state(replica, spark) == _state(src, spark)
+    assert sorted(replica.partitions()) == ["2024-01-01", "2024-01-02"]
+    src.merge(_events(spark, [(1, 1, 3, "delete", None), (3, 3, 4, "insert", "c")]))
+    src.drop_partitions(values=["2024-01-02"])
+    replicate_available(spark, src, replica, off)
+    assert _state(replica, spark) == _state(src, spark) == {(3, 3): "c"}
