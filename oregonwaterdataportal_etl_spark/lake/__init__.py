@@ -13,6 +13,7 @@ from .wap import (
     DeltaBounds,
     ExprHolds,
     NotNull,
+    PartitionedWapStage,
     RowBounds,
     UniqueKeys,
     WapAuditError,
@@ -43,6 +44,7 @@ __all__ = [
     "RowBounds",
     "ExprHolds",
     "run_audits",
+    "PartitionedWapStage",
     "WapStage",
     "WapAuditError",
     "WapConflictError",

@@ -293,6 +293,11 @@ class PartitionedLakeTable:
         child = self.partition_table(value)
         if not child.exists():
             self._create_child(child, snap)
+            # re-look-up: a WAP stage's partition_table returns the
+            # STAGED view once the child exists, so even a partition
+            # born inside a stage routes its data commits through the
+            # child's wap chain
+            return self.partition_table(value)
         elif value not in (snap.get("partitions") or {}):
             # The child DIR exists but the partition is not in the
             # current vector: it was DROPPED and not yet vacuumed. This
@@ -966,6 +971,15 @@ class PartitionedLakeTable:
                 )
                 report["vacuum"] = f"{n} root snapshots > {policy.keep_snapshots}; removed {removed} files"
         return report
+
+    def begin_wap(self, wap_id: str):
+        """Open (or re-attach to) a write-audit-publish stage on the
+        tree (lake/wap.py PartitionedWapStage): root chain staged,
+        touched children staged per child, publish pins the whole
+        vector atomically."""
+        from .wap import PartitionedWapStage
+
+        return PartitionedWapStage(self.path, wap_id)
 
     def clone_to(self, dest: str, version: int | None = None) -> "PartitionedLakeTable":
         """Deep snapshot export of the whole tree (same contract as

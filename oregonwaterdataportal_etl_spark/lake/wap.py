@@ -53,6 +53,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .partitioned import PartitionedLakeTable
 from .table import (
     CommitConflictError,
     LakeTable,
@@ -251,26 +252,18 @@ def run_audits(df: DataFrame, audits: list[Audit]) -> dict[str, str]:
 
 
 # ------------------------------------------------------------ stage
-class WapStage(LakeTable):
-    """A LakeTable view whose commits land on a private staged chain.
+class _StagedChain:
+    """Shared staged-manifest mechanics for WAP stages (flat table and
+    partition tree): a ``wap-<id>-NNNN.json`` chain overlaying a main
+    chain. Subclasses provide ``_main_current()``/``_main_snapshot(v)``
+    (the un-staged fallbacks) and set ``self._prefix``/``self.meta_dir``
+    before use."""
 
-    Create with :func:`begin_wap` (or re-attach to an existing stage
-    by constructing with the same ``wap_id`` after a crash — staged
-    manifests are durable)."""
-
-    def __init__(self, path: str, wap_id: str):
+    @staticmethod
+    def _check_wap_id(wap_id: str) -> None:
         if not wap_id or any(ch in wap_id for ch in "/\\ \t\n"):
             raise ValueError(f"invalid wap_id {wap_id!r}")
-        super().__init__(path)
-        self.wap_id = wap_id
-        self._prefix = f"wap-{wap_id}-"
-        tip = latest_manifest_version(self.meta_dir, self._prefix)
-        if tip is not None:
-            self._base_version = self.snapshot(tip)["wap"]["base_version"]
-        else:
-            self._base_version = LakeTable.current_version(self)
 
-    # -- staged metadata ------------------------------------------
     def _staged_tip(self) -> int | None:
         return latest_manifest_version(self.meta_dir, self._prefix)
 
@@ -285,7 +278,7 @@ class WapStage(LakeTable):
 
     def current_version(self) -> int:
         tip = self._staged_tip()
-        return tip if tip is not None else LakeTable.current_version(self)
+        return tip if tip is not None else self._main_current()
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -293,6 +286,40 @@ class WapStage(LakeTable):
         if os.path.exists(staged):
             with open(staged) as f:
                 return json.load(f)
+        return self._main_snapshot(v)
+
+    def _drop_staged_manifests(self) -> None:
+        for v in self.staged_versions():
+            try:
+                os.remove(
+                    os.path.join(self.meta_dir, f"{self._prefix}{v:08d}.json")
+                )
+            except FileNotFoundError:
+                pass
+
+
+class WapStage(_StagedChain, LakeTable):
+    """A LakeTable view whose commits land on a private staged chain.
+
+    Create with :func:`begin_wap` (or re-attach to an existing stage
+    by constructing with the same ``wap_id`` after a crash — staged
+    manifests are durable)."""
+
+    def __init__(self, path: str, wap_id: str):
+        self._check_wap_id(wap_id)
+        super().__init__(path)
+        self.wap_id = wap_id
+        self._prefix = f"wap-{wap_id}-"
+        tip = latest_manifest_version(self.meta_dir, self._prefix)
+        if tip is not None:
+            self._base_version = self.snapshot(tip)["wap"]["base_version"]
+        else:
+            self._base_version = LakeTable.current_version(self)
+
+    def _main_current(self) -> int:
+        return LakeTable.current_version(self)
+
+    def _main_snapshot(self, v: int) -> dict:
         return LakeTable.snapshot(self, v)
 
     def _commit(self, snap: dict) -> None:
@@ -413,16 +440,179 @@ class WapStage(LakeTable):
         self._drop_staged_manifests()
         return removed
 
-    def _drop_staged_manifests(self) -> None:
-        for v in self.staged_versions():
-            try:
-                os.remove(
-                    os.path.join(self.meta_dir, f"{self._prefix}{v:08d}.json")
+
+class PartitionedWapStage(_StagedChain, PartitionedLakeTable):
+    """Write-audit-publish over the PARTITION TREE: the ROOT chain is
+    staged (``wap-<id>-N`` root manifests — invisible to every normal
+    reader, who only follows ``snap-`` roots), and each touched child
+    is a per-child :class:`WapStage`, so child data commits are staged
+    too. Staged state is fully readable/auditable through the ordinary
+    tree API (read / read_changes / metadata), because every child
+    lookup routes through the stage's ``partition_table``.
+
+    Publish = child stages publish first (metadata-only renumbers),
+    then ONE root commit pins the published vector atomically; if the
+    root commit loses a race, the already-published children are
+    ROLLED BACK (LakeTable.rollback — history moves forward, pointers
+    move back) so no staged row can leak into a later main merge, and
+    WapConflictError is raised with the stage kept.
+
+    New partitions created inside a stage get a real (empty) child v0
+    plus staged data commits; on abort the staged commits vanish with
+    the child wap chain, and a stage-created child whose dir lingers
+    is neutralized by the reincarnation truncate guard on the next
+    main merge."""
+
+    def __init__(self, path: str, wap_id: str):
+        self._check_wap_id(wap_id)
+        super().__init__(path)
+        self.wap_id = wap_id
+        self._prefix = f"wap-{wap_id}-"
+        tip = latest_manifest_version(self.meta_dir, self._prefix)
+        if tip is not None:
+            self._base_version = self.snapshot(tip)["wap"]["base_version"]
+        else:
+            self._base_version = PartitionedLakeTable.current_version(self)
+
+    def _main_current(self) -> int:
+        return PartitionedLakeTable.current_version(self)
+
+    def _main_snapshot(self, v: int) -> dict:
+        return PartitionedLakeTable.snapshot(self, v)
+
+    def partition_table(self, value: str):
+        path = self.partition_dir(value)
+        if os.path.isdir(os.path.join(path, "_meta")):
+            return WapStage(path, self.wap_id)
+        # not created yet: hand back a plain table so exists()/create
+        # work; the NEXT lookup (post-create) returns the staged view
+        return LakeTable(path)
+
+    def _commit(self, snap: dict) -> None:
+        snap = dict(snap)
+        snap.pop("committed_at", None)
+        snap["wap"] = {"id": self.wap_id, "base_version": self._base_version}
+        versioned_commit(
+            self.meta_dir,
+            f"{self._prefix}{snap['version']:08d}.json",
+            snap["version"],
+            snap,
+            pointer_name=None,
+        )
+
+    def _staged_children(self, vector: dict) -> list[str]:
+        out = []
+        for value in sorted(vector):
+            pd = self.partition_dir(value)
+            if os.path.isdir(os.path.join(pd, "_meta")):
+                if latest_manifest_version(
+                    os.path.join(pd, "_meta"), self._prefix
+                ) is not None:
+                    out.append(value)
+        return out
+
+    def publish(
+        self,
+        spark: SparkSession | None = None,
+        audits: list[Audit] | None = None,
+    ) -> int:
+        tip = self._staged_tip()
+        if tip is None:
+            raise ValueError(f"wap stage {self.wap_id!r}: nothing staged")
+        if audits:
+            if spark is None:
+                raise ValueError("publish(audits=...) needs a SparkSession")
+            state_audits = [
+                a for a in audits if not getattr(a, "wants_changes", False)
+            ]
+            change_audits = [
+                a for a in audits if getattr(a, "wants_changes", False)
+            ]
+            report = run_audits(self.read(spark), state_audits)
+            if change_audits:
+                base_vec = (
+                    PartitionedLakeTable.snapshot(self, self._base_version)
+                    .get("partitions") or {}
                 )
-            except FileNotFoundError:
-                pass
+                base_rows = 0
+                for value, cv in base_vec.items():
+                    cs = LakeTable(self.partition_dir(value)).snapshot(cv)
+                    base_rows += sum((cs.get("row_counts") or {}).values())
+                for a in change_audits:
+                    a._base_rows = base_rows
+                report.update(
+                    run_audits(
+                        self.read_changes(spark, self._base_version, tip),
+                        change_audits,
+                    )
+                )
+            if report:
+                raise WapAuditError(report)
+        main = PartitionedLakeTable(self.path)
+        current = main.current_version()
+        if current != self._base_version:
+            raise WapConflictError(
+                f"main moved {self._base_version} -> {current} while wap "
+                f"stage {self.wap_id!r} was open; abort and restage"
+            )
+        snap = dict(self.snapshot(tip))
+        vector = dict(snap.get("partitions") or {})
+        undo: list[tuple[str, int]] = []
+        try:
+            for value in self._staged_children(vector):
+                child_main = LakeTable(self.partition_dir(value))
+                pre = child_main.current_version()
+                vector[value] = WapStage(
+                    self.partition_dir(value), self.wap_id
+                ).publish()
+                undo.append((value, pre))
+            snap["partitions"] = vector
+            snap["version"] = current + 1
+            snap["parent"] = current
+            snap.pop("wap", None)
+            summary = dict(snap.get("summary") or {})
+            snap["summary"] = {
+                **summary,
+                "operation": "wap-publish",
+                "wap_id": self.wap_id,
+                "staged_commits": len(self.staged_versions()),
+                "staged_operation": summary.get("operation"),
+            }
+            main._commit(snap)
+        except (CommitConflictError, WapConflictError) as e:
+            # un-publish the children so no staged row leaks into a
+            # later main merge through an advanced child CURRENT
+            for value, pre in undo:
+                LakeTable(self.partition_dir(value)).rollback(pre)
+            raise WapConflictError(
+                f"publish of wap stage {self.wap_id!r} lost a race; child "
+                "publishes rolled back — abort and restage"
+            ) from e
+        self._drop_staged_manifests()
+        return snap["version"]
+
+    def abort(self, drop_data: bool = True) -> int:
+        removed = 0
+        try:
+            names = sorted(os.listdir(self.path))
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            if not name.startswith("p="):
+                continue
+            pd = os.path.join(self.path, name)
+            if os.path.isdir(os.path.join(pd, "_meta")) and (
+                latest_manifest_version(os.path.join(pd, "_meta"), self._prefix)
+                is not None
+            ):
+                removed += WapStage(pd, self.wap_id).abort(drop_data=drop_data)
+        self._drop_staged_manifests()
+        return removed
 
 
-def begin_wap(table: LakeTable, wap_id: str) -> WapStage:
-    """Open (or re-attach to) a write-audit-publish stage on a table."""
+def begin_wap(table, wap_id: str):
+    """Open (or re-attach to) a write-audit-publish stage on a table —
+    flat LakeTable or PartitionedLakeTable, decided by the table kind."""
+    if hasattr(table, "partition_table"):
+        return PartitionedWapStage(table.path, wap_id)
     return WapStage(table.path, wap_id)

@@ -818,3 +818,93 @@ def test_tree_to_tree_replication(spark, tmp_path):
     src.drop_partitions(values=["2024-01-02"])
     replicate_available(spark, src, replica, off)
     assert _state(replica, spark) == _state(src, spark) == {(3, 3): "c"}
+
+
+def test_tree_wap_stage_publish_abort(spark, tmp_path):
+    """Write-audit-publish over the tree: staged merges invisible to
+    main (root AND children), audits gate, publish is one atomic
+    vector pin, abort leaks nothing into later main merges."""
+    from oregonwaterdataportal_etl_spark.lake import (
+        NotNull,
+        RowBounds,
+        WapAuditError,
+    )
+
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a"), (2, 2, 2, "insert", "b")]))
+    base = _state(t, spark)
+    v_base = t.current_version()
+
+    stage = t.begin_wap("audit1")
+    stage.merge(_events(spark, [
+        (1, 1, 10, "update", "a2"),
+        (3, 3, 11, "insert", "c"),   # NEW partition born in-stage
+    ]))
+    # stage sees its own work; main sees nothing
+    assert _state(stage, spark) == {(1, 1): "a2", (2, 2): "b", (3, 3): "c"}
+    assert _state(t, spark) == base and t.current_version() == v_base
+    assert "2024-01-03" not in t.partitions()
+    # failing audit keeps both stage and main
+    with pytest.raises(WapAuditError):
+        stage.publish(spark, audits=[RowBounds(min_rows=99)])
+    assert _state(t, spark) == base
+    # passing audits -> one atomic publish
+    stage.publish(spark, audits=[NotNull("v"), RowBounds(min_rows=3)])
+    assert _state(t, spark) == {(1, 1): "a2", (2, 2): "b", (3, 3): "c"}
+    assert sorted(t.partitions()) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    # abort path: staged rows must never reach main, even via a later
+    # main merge into the same partitions
+    stage2 = t.begin_wap("audit2")
+    stage2.merge(_events(spark, [(9, 1, 20, "insert", "ghost"),
+                                 (8, 4, 21, "insert", "ghost4")]))
+    stage2.abort()
+    t.merge(_events(spark, [(5, 1, 30, "insert", "real"),
+                            (6, 4, 31, "insert", "real4")]))
+    st = _state(t, spark)
+    assert (9, 1) not in st and (8, 4) not in st
+    assert st[(5, 1)] == "real" and st[(6, 4)] == "real4"
+
+
+def test_tree_wap_conflict_rolls_children_back(spark, tmp_path):
+    """Main moving while a tree stage is open refuses the publish and
+    leaves main's children exactly as main committed them."""
+    from oregonwaterdataportal_etl_spark.lake import WapConflictError
+
+    t = _create(tmp_path)
+    t.merge(_events(spark, [(1, 1, 1, "insert", "a")]))
+    stage = t.begin_wap("race")
+    stage.merge(_events(spark, [(1, 1, 10, "update", "staged")]))
+    t.merge(_events(spark, [(2, 1, 11, "insert", "mainline")]))  # main moves
+    with pytest.raises(WapConflictError):
+        stage.publish(spark)
+    assert _state(t, spark) == {(1, 1): "a", (2, 1): "mainline"}
+    # the stage survives for abort
+    assert stage.abort() >= 0
+    t.merge(_events(spark, [(3, 1, 12, "insert", "after")]))
+    st = _state(t, spark)
+    assert st == {(1, 1): "a", (2, 1): "mainline", (3, 1): "after"}
+
+
+def test_tree_wap_runner_composition(spark, tmp_path):
+    """Audited ingest by composition: CdcRunner pointed AT a tree
+    stage, publish once at the end — zero integration code."""
+    from oregonwaterdataportal_etl_spark.cdc import CdcRunner, ManifestLog, OffsetLog
+    from oregonwaterdataportal_etl_spark.lake import UniqueKeys
+
+    t = _create(tmp_path)
+    events = _events(spark, [
+        (i, 1 + i % 2, i, "insert", f"v{i}") for i in range(1, 9)
+    ]).localCheckpoint(eager=True)
+    stage = t.begin_wap("ingest")
+    runner = CdcRunner(
+        table=stage,
+        offsets=OffsetLog(str(tmp_path / "off"), "s"),
+        manifests=ManifestLog(str(tmp_path / "man")),
+        source=lambda: events,
+    )
+    runner.run_window(1, 4)
+    runner.run_window(5, 8)
+    assert _state(t, spark) == {}  # invisible until published
+    stage.publish(spark, audits=[UniqueKeys(["id", "ts"])])
+    assert len(_state(t, spark)) == 8
