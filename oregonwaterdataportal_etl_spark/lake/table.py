@@ -1978,6 +1978,28 @@ class LakeTable:
                 _summary_extra=_summary_extra,
             )
 
+        # -- empty-table fast path ----------------------------------
+        # First load into a fresh table: there is no base side at all,
+        # so the resolve degenerates to the batch-only LWW dedup. That
+        # formulation matters for performance, not just simplicity:
+        # _resolve's min(__src)-over-partition metrics column blocks
+        # Spark's WindowGroupLimit rank pushdown, while the pure rank
+        # filter of _resolve_batch gets a PARTIAL top-1-per-key below
+        # the exchange — intra-batch duplicates collapse map-side
+        # before riding the wire (2M events -> ~751k keys on the bench
+        # stream). With no base row anywhere, min(__src) == 1 for
+        # every key, so __all_chg is the constant 1 and the resolved
+        # winners are identical to the window path's.
+        if not (snap["files"] or snap.get("deltas") or snap.get("tombstones")):
+            winners = self._resolve_batch(
+                upd_tagged, key_cols, n_buckets
+            ).withColumn("__all_chg", F.lit(1))
+            return self._finalize_cow(
+                spark, snap, evolved, dicts, winners, touched, bexpr,
+                _operation_label=_operation_label,
+                _summary_extra=_summary_extra,
+            )
+
         # existing MOR deltas for the touched buckets fold into this
         # copy-on-write merge (they are just more updates); untouched
         # buckets keep their deltas.
