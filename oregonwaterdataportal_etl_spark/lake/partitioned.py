@@ -492,6 +492,20 @@ class PartitionedLakeTable:
             # empty batch: no child changed, so no root snapshot either
             # (repeated empty applies must not churn root history)
             return PartitionedMergeResult(version=snap["version"])
+        if len(pstats) > 1:
+            # each partition filters the batch once; pin the batch so a
+            # non-deterministic source can't route a row twice (and the
+            # source isn't re-scanned per partition). The routing list
+            # is then RECOMPUTED from the checkpointed frame so the
+            # value list and the filtered slices come from the same
+            # materialized data — a non-deterministic source could
+            # otherwise route a row to a value absent from the first
+            # pass's list and the per-partition filters would silently
+            # drop it (the pre-pin list predates the pin).
+            updates = updates.localCheckpoint(eager=True)
+            pstats = updates.groupBy(pexpr.alias("__p")).count().collect()
+        # validations run on the FINAL routing list (post-pin when one
+        # was taken)
         if any(r["__p"] is None for r in pstats):
             n = sum(r["count"] for r in pstats if r["__p"] is None)
             raise ValueError(
@@ -503,11 +517,6 @@ class PartitionedLakeTable:
             bad = [v for v in values if not _SAFE_VALUE.match(v)]
             if bad:
                 raise ValueError(f"unsafe identity partition values: {bad[:5]}")
-        if len(values) > 1:
-            # each partition filters the batch once; pin the batch so a
-            # non-deterministic source can't route a row twice (and the
-            # source isn't re-scanned per partition)
-            updates = updates.localCheckpoint(eager=True)
         out = PartitionedMergeResult(version=-1)
         pinned: dict[str, int] = {}
 
@@ -802,8 +811,14 @@ class PartitionedLakeTable:
             parts = dict(s.get("partitions") or {})
             dropped_at = dict(s.get("dropped_at") or {})
             for v in dropped:
+                # the mark must come from the FRESH root read too: on a
+                # CommitConflictError retry a concurrent merge may have
+                # advanced the child and the vector past the pre-commit
+                # drop_marks read; re-applying the stale mark would let
+                # _ensure_partition skip the reincarnation truncate
+                # (child version > dropped_at) and resurrect the rows
+                dropped_at[v] = max(drop_marks[v], parts.get(v, -1))
                 parts.pop(v, None)
-                dropped_at[v] = drop_marks[v]
             s["partitions"] = parts
             s["dropped_at"] = dropped_at
             s["summary"] = {"operation": "drop_partitions", "dropped": dropped}

@@ -381,6 +381,18 @@ class WapStage(_StagedChain, LakeTable):
         main = LakeTable(self.path)
         current = main.current_version()
         if current != self._base_version:
+            cs = LakeTable.snapshot(self, current)
+            s = cs.get("summary") or {}
+            if (
+                s.get("operation") == "wap-publish"
+                and s.get("wap_id") == self.wap_id
+                and cs.get("parent") == self._base_version
+            ):
+                # OUR publish already committed (crash between the main
+                # commit and the staged-chain cleanup): finish the
+                # cleanup idempotently instead of reporting a conflict
+                self._drop_staged_manifests()
+                return current
             raise WapConflictError(
                 f"main moved {self._base_version} -> {current} while wap "
                 f"stage {self.wap_id!r} was open; abort and restage"
@@ -511,6 +523,63 @@ class PartitionedWapStage(_StagedChain, PartitionedLakeTable):
                     out.append(value)
         return out
 
+    # -- publish-intent marker -------------------------------------
+    # Durable record of each child's PUBLISHED main version, written
+    # before the root commit: a crash between the child-publish loop
+    # and the root commit leaves children published (their wap chains
+    # already dropped) while the staged root vector still pins STAGED
+    # chain numbers — which exist on the main chain only by
+    # coincidence (single staged commit) or not at all. A re-attached
+    # publish resolves those children from this marker instead.
+    def _intent_path(self) -> str:
+        return os.path.join(self.meta_dir, f"{self._prefix}publish-intent.json")
+
+    def _read_intent(self) -> dict:
+        try:
+            with open(self._intent_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _write_intent(self, intent: dict) -> None:
+        tmp = f"{self._intent_path()}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(intent, f)
+        os.replace(tmp, self._intent_path())
+
+    def _clear_intent(self) -> None:
+        try:
+            os.remove(self._intent_path())
+        except FileNotFoundError:
+            pass
+
+    def snapshot(self, version: int | None = None) -> dict:
+        snap = super().snapshot(version)
+        if "wap" in snap:
+            # a staged ROOT manifest: overlay publish-intent children
+            # with their published main versions, so re-attached reads
+            # (audits, read_changes, publish itself) resolve them on
+            # the child MAIN chain — the staged numbers no longer
+            # exist. Only children whose staged chain is GONE overlay:
+            # the marker is written before the child publish, so an
+            # entry with a still-live chain means that child's publish
+            # never completed and the staged numbers remain the truth.
+            intent = self._read_intent()
+            if intent:
+                parts = dict(snap.get("partitions") or {})
+                changed = False
+                for v, rec in intent.items():
+                    if v not in parts:
+                        continue
+                    md = os.path.join(self.partition_dir(v), "_meta")
+                    if latest_manifest_version(md, self._prefix) is None:
+                        parts[v] = rec["pub"]
+                        changed = True
+                if changed:
+                    snap = dict(snap)
+                    snap["partitions"] = parts
+        return snap
+
     def publish(
         self,
         spark: SparkSession | None = None,
@@ -551,21 +620,45 @@ class PartitionedWapStage(_StagedChain, PartitionedLakeTable):
         main = PartitionedLakeTable(self.path)
         current = main.current_version()
         if current != self._base_version:
+            cs = PartitionedLakeTable.snapshot(self, current)
+            s = cs.get("summary") or {}
+            if (
+                s.get("operation") == "wap-publish"
+                and s.get("wap_id") == self.wap_id
+                and cs.get("parent") == self._base_version
+            ):
+                # OUR root commit already landed (crash between it and
+                # the cleanup): finish the cleanup idempotently
+                self._publish_cleanup(dict(cs.get("partitions") or {}))
+                return current
             raise WapConflictError(
                 f"main moved {self._base_version} -> {current} while wap "
                 f"stage {self.wap_id!r} was open; abort and restage"
             )
         snap = dict(self.snapshot(tip))
+        # snapshot() has already overlaid publish-intent children (a
+        # re-attached publish after a crash mid-protocol), so `vector`
+        # holds published MAIN versions for them and staged numbers
+        # only for children still awaiting their publish
         vector = dict(snap.get("partitions") or {})
-        undo: list[tuple[str, int]] = []
+        intent = self._read_intent()
+        undo: list[tuple[str, int, int]] = []
         try:
             for value in self._staged_children(vector):
                 child_main = LakeTable(self.partition_dir(value))
                 pre = child_main.current_version()
-                vector[value] = WapStage(
-                    self.partition_dir(value), self.wap_id
-                ).publish()
-                undo.append((value, pre))
+                # record the intent BEFORE the child publish (flat
+                # publish always commits pre+1, so the published
+                # version is known in advance): every crash point
+                # after this line is recoverable from the marker —
+                # this is what makes the loop-to-root-commit window
+                # safe for a re-attached publish
+                intent[value] = {"pre": pre, "pub": pre + 1}
+                self._write_intent(intent)
+                pub = WapStage(self.partition_dir(value), self.wap_id).publish()
+                assert pub == pre + 1
+                vector[value] = pub
+                undo.append((value, pre, pub))
             snap["partitions"] = vector
             snap["version"] = current + 1
             snap["parent"] = current
@@ -581,18 +674,92 @@ class PartitionedWapStage(_StagedChain, PartitionedLakeTable):
             main._commit(snap)
         except (CommitConflictError, WapConflictError) as e:
             # un-publish the children so no staged row leaks into a
-            # later main merge through an advanced child CURRENT
-            for value, pre in undo:
-                LakeTable(self.partition_dir(value)).rollback(pre)
+            # later main merge through an advanced child CURRENT —
+            # including children published by a CRASHED earlier attempt
+            # (their pre/pub ride the intent marker). A child whose
+            # CURRENT moved past our published version carries a
+            # FOREIGN writer's commit built on the unaudited staged
+            # data: rolling it back would silently drop that writer's
+            # rows, so fail loudly for operator repair instead.
+            to_undo = {v: (rec["pre"], rec["pub"]) for v, rec in intent.items()}
+            for value, pre, pub in undo:
+                to_undo[value] = (pre, pub)
+            foreign = []
+            for value, (pre, pub) in sorted(to_undo.items()):
+                child = LakeTable(self.partition_dir(value))
+                cur = child.current_version()
+                if cur == pre:
+                    # intent recorded but the child publish never
+                    # committed — nothing to undo
+                    intent.pop(value, None)
+                    continue
+                if cur != pub:
+                    foreign.append(value)
+                    continue
+                child.rollback(pre)
+                intent.pop(value, None)
+            if intent:
+                self._write_intent(intent)
+            else:
+                self._clear_intent()
+            if foreign:
+                raise WapConflictError(
+                    f"publish of wap stage {self.wap_id!r} lost a race AND "
+                    f"concurrent main commits landed on published children "
+                    f"{foreign} before the rollback; those children keep "
+                    "the staged+foreign data and need operator repair "
+                    "(the other children were rolled back)"
+                ) from e
             raise WapConflictError(
                 f"publish of wap stage {self.wap_id!r} lost a race; child "
                 "publishes rolled back — abort and restage"
             ) from e
-        self._drop_staged_manifests()
+        self._publish_cleanup(vector)
         return snap["version"]
+
+    def _publish_cleanup(self, vector: dict) -> None:
+        """Post-root-commit cleanup: drop the staged root chain + the
+        intent marker, then sweep child wap chains NOT covered by the
+        published vector — a child merged and then drop_partitions'd
+        inside the stage is absent from the staged vector, so the
+        publish loop never touches it and its wap-<id>-* manifests
+        would linger forever, pinning staged data files against child
+        vacuum and silently re-attaching to a future stage that reuses
+        this wap_id."""
+        self._drop_staged_manifests()
+        self._clear_intent()
+        try:
+            names = sorted(os.listdir(self.path))
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            if not name.startswith("p=") or name[2:] in vector:
+                continue
+            pd = os.path.join(self.path, name)
+            if os.path.isdir(os.path.join(pd, "_meta")) and (
+                latest_manifest_version(os.path.join(pd, "_meta"), self._prefix)
+                is not None
+            ):
+                WapStage(pd, self.wap_id).abort(drop_data=True)
 
     def abort(self, drop_data: bool = True) -> int:
         removed = 0
+        # children published by a CRASHED publish attempt (recorded in
+        # the intent marker) are un-published first, so abort leaves
+        # main exactly at the stage's base; a child whose CURRENT moved
+        # past our published version carries a foreign commit — leave
+        # it and fail loudly after cleaning everything else up
+        intent = self._read_intent()
+        foreign = []
+        for value, rec in sorted(intent.items()):
+            child = LakeTable(self.partition_dir(value))
+            cur = child.current_version()
+            if cur == rec["pre"]:
+                continue  # intent recorded, publish never committed
+            if cur != rec["pub"]:
+                foreign.append(value)
+                continue
+            child.rollback(rec["pre"])
         try:
             names = sorted(os.listdir(self.path))
         except FileNotFoundError:
@@ -607,6 +774,17 @@ class PartitionedWapStage(_StagedChain, PartitionedLakeTable):
             ):
                 removed += WapStage(pd, self.wap_id).abort(drop_data=drop_data)
         self._drop_staged_manifests()
+        if foreign:
+            # keep only the foreign entries so the condition stays
+            # visible to a later re-attach instead of silently vanishing
+            self._write_intent({v: intent[v] for v in foreign})
+            raise WapConflictError(
+                f"abort of wap stage {self.wap_id!r}: children {foreign} "
+                "were published by a crashed publish AND carry later "
+                "foreign commits — cannot roll back without dropping "
+                "another writer's rows; operator repair required"
+            )
+        self._clear_intent()
         return removed
 
 

@@ -170,9 +170,13 @@ def minhash_lsh_pairs(
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
     sig = minhash_signatures(src, text_col, num_hashes, k, hash_family)
-    # signatures are computed once and reused on both sides of two
-    # joins — persist to avoid re-shingling the corpus three times
-    sig = sig.select(id_col, "minhash").persist()
+    # No persist: both join sides read the SAME banded exchange
+    # (ReusedExchange), so signatures are computed exactly once per
+    # run anyway — caching them only added a materialization pass
+    # (measured a wash-to-slightly-slower at the bench corpus), and at
+    # corpus scale pinning every signature in executor storage is
+    # memory pressure with no reader.
+    sig = sig.select(id_col, "minhash")
 
     def band_bucket(i):
         sl = F.slice("minhash", i * rows_per_band + 1, rows_per_band)
@@ -246,9 +250,11 @@ def minhash_lsh_pairs(
             .dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b", "est_jaccard")
         )
-        out = out.localCheckpoint()  # materialize before unpersisting sig
+        # materialize: downstream consumers (connected_components)
+        # iterate over the pair list, so pin it once
+        out = out.localCheckpoint()
     finally:
-        sig.unpersist()
+        sig.unpersist()  # no-op unless a caller re-adds the persist
     return out
 
 
