@@ -284,10 +284,8 @@ def simhash64(col: Column | str, k: int = 5, hash_family: str = "xxhash64") -> C
             h.bitwiseAND(mask) != 0, 1
         ).otherwise(-1)
 
-    def build(harr):
-        # ``harr`` is the hashed-shingle array bound ONCE: captured
-        # directly, the shingling+hashing subtree would re-evaluate in
-        # EVERY one of the nbits aggregate folds (see text.bind_once)
+    def classic(harr):
+        # one aggregate fold per bit — works for any shingle count
         bits = []
         for b in range(nbits):
             mval = (1 << b) if b < 63 else -(1 << 63)  # signed-long-safe bit 63
@@ -298,6 +296,57 @@ def simhash64(col: Column | str, k: int = 5, hash_family: str = "xxhash64") -> C
         for bcol in bits[1:]:
             out = out.bitwiseOR(bcol)
         return out
+
+    # SWAR packed counters: group g folds bits {g, g+16, g+32, g+48}
+    # as four 16-bit counters inside one long —
+    # (h >>> g) & 0x0001000100010001 drops each of those bits at its
+    # counter's LSB, so one add accumulates four bit-counts at once.
+    # 16 folds with 3 cheap integer ops per element replace nbits (60/
+    # 64) folds of compare+branch+add: the per-bit vote is sum(+/-1)
+    # = 2*count - n, so bit b is set iff 2*count_b > n — identical
+    # output (a null hash adds 0 to every count and 1 to n, exactly
+    # the classic fold's unconditional -1). Counters are exact up to
+    # 65535 shingles; rarer longer documents take the classic branch.
+    SPREAD = 0x0001000100010001
+
+    def swar(harr):
+        def counters(g):
+            return F.aggregate(
+                harr,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.coalesce(
+                    F.shiftrightunsigned(h, g).bitwiseAND(
+                        F.lit(SPREAD).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+            )
+
+        def unpack(accs):
+            n = F.size(harr)
+            out = None
+            for b in range(nbits):
+                g, m = b % 16, b // 16
+                cnt = F.shiftrightunsigned(
+                    F.element_at(accs, g + 1), 16 * m
+                ).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                mval = (1 << b) if b < 63 else -(1 << 63)
+                bit = F.when(cnt * 2 > n, F.lit(mval).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                out = bit if out is None else out.bitwiseOR(bit)
+            return out
+
+        return bind_once(F.array(*[counters(g) for g in range(16)]), unpack)
+
+    def build(harr):
+        # ``harr`` is the hashed-shingle array bound ONCE: captured
+        # directly, the shingling+hashing subtree would re-evaluate in
+        # EVERY aggregate fold (see text.bind_once)
+        return F.when(F.size(harr) <= 0xFFFF, swar(harr)).otherwise(
+            classic(harr)
+        )
 
     return bind_once(hashed, build)
 
@@ -318,6 +367,12 @@ def simhash_dedup_pairs(
     cbits = 15 if hash_family == "md5" else 16
     cmask = (1 << cbits) - 1
     sig = df.select(id_col, simhash64(text_col, hash_family=hash_family).alias("__sim"))
+    # pin the signatures: the chunk self-join scans this frame on BOTH
+    # sides and (unlike minhash's banded exchange) the planner does not
+    # reuse one computation across them — without the pin the whole
+    # signature pass ran twice (measured 18s -> 5.7s at the 5k-doc
+    # corpus, local[32]). NOTE: executes a Spark job at BUILD time.
+    sig = sig.localCheckpoint(eager=True)
     chunks = sig.select(
         id_col,
         "__sim",
@@ -333,12 +388,16 @@ def simhash_dedup_pairs(
     a = chunks.select("chunk_idx", "chunk", F.col(id_col).alias("id_a"), F.col("__sim").alias("__sa"))
     b = chunks.select("chunk_idx", "chunk", F.col(id_col).alias("id_b"), F.col("__sim").alias("__sb"))
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    # verify BEFORE deduplicating: hamming is a pure function of the
+    # pair, so the threshold filter commutes with the distinct — the
+    # dedup exchange then carries only survivors instead of every
+    # (chunk-duplicated) candidate row with both signatures aboard
     return (
         a.join(b, on=["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -360,18 +419,36 @@ def ngram_jaccard_pairs(
     round_digits=None emits the exact |A∩B|/|A∪B| double (an int/int
     division both engines compute identically — used by the DuckDB
     value oracle)."""
+    # |A ∩ B| IS the join multiplicity: word_ngrams arrays are
+    # distinct, so a candidate pair appears in the inverted-index join
+    # once per SHARED gram — counting those rows gives the exact
+    # intersection size, and |A ∪ B| = |A| + |B| - |A ∩ B| from the
+    # per-doc sizes riding the index. The old formulation carried both
+    # full gram ARRAYS through the join and ran array_intersect/union
+    # per candidate row; this one shuffles only (gram, id, size) and
+    # aggregates with map-side partial counts. Identical values: the
+    # same |∩|/|∪| integers feed the same double division.
     grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("__g"))
-    inv = grams.select(id_col, "__g", F.explode("__g").alias("gram"))
-    a = inv.select(F.col("gram"), F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    b = inv.select(F.col("gram"), F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
-    jac = F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb"))
+    inv = grams.select(
+        id_col, F.size("__g").alias("__sz"), F.explode("__g").alias("gram")
+    )
+    a = inv.select(
+        F.col("gram"), F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")
+    )
+    b = inv.select(
+        F.col("gram"), F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")
+    )
+    pairs = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count("*").alias("__c"))
+    )
+    jac = F.col("__c") / (F.col("__sza") + F.col("__szb") - F.col("__c"))
     if round_digits is not None:
         jac = F.round(jac, round_digits)
     return (
-        a.join(b, on="gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -546,14 +623,22 @@ def dup_span_stats(
         .filter(F.col("__df") >= min_docs)
         .select("__g")
     )
-    dup = ex.join(flagged, "__g").groupBy(id_col).agg(
-        F.count("*").alias("dup_grams")
+    # ONE per-doc aggregate computes both totals and flagged counts: a
+    # left join against the (df-filtered, typically tiny) flagged set
+    # marks each position, then count(*) / count(marker) aggregate in
+    # the same pass — the old separate `tot` groupBy re-evaluated the
+    # whole explode+hash stream a third time (no exchange to reuse
+    # between the two aggregations)
+    marked = ex.join(
+        flagged.withColumn("__hit", F.lit(1)), "__g", "left"
     )
-    tot = ex.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    stats = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("__hit").alias("dup_grams"),
+    )
     return (
         df.select(id_col)
-        .join(tot, id_col, "left")
-        .join(dup, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
