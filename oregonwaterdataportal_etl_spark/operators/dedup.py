@@ -235,9 +235,15 @@ def minhash_lsh_pairs(
             "band", "bucket",
             F.col(id_col).alias("id_b"), F.col("minhash").alias("__sig_b"),
         )
-        # both join sides are the SAME banded subtree, so the planner
-        # reuses one exchange (ReusedExchange) — the band shuffle is
-        # paid once, not per side
+        # both join sides are the SAME banded subtree: the static
+        # explain prints it twice, but exchange reuse materializes the
+        # (band, bucket) shuffle stage ONCE at runtime — measured: the
+        # full pipeline runs no faster with the signatures persisted,
+        # so the signature pass executes exactly once. At bench sizes
+        # the post-window banded stream sits under the broadcast
+        # threshold and the join is a BroadcastHashJoin; at corpus
+        # scale the estimates push it to a shuffled join on the
+        # already-partitioned stream.
         # estimated jaccard = fraction of agreeing signature positions
         est = F.size(
             F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v)

@@ -52,6 +52,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Guide-baseline: let the planner pick shuffled-hash joins
+        # where its size conditions hold (skips both per-task sorts a
+        # sort-merge join pays). Interleaved bench draws read slightly
+        # better and every plan pin stays unchanged; the zero-exchange
+        # merge path forces SHUFFLE_HASH explicitly regardless. Caveat
+        # at extreme scale: a build-side partition must fit in task
+        # memory — flip SPARK_GRAFT_PREFER_SMJ=true to restore
+        # sort-merge-first.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
