@@ -256,9 +256,13 @@ def minhash_lsh_pairs(
             .dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b", "est_jaccard")
         )
-        # materialize: downstream consumers (connected_components)
-        # iterate over the pair list, so pin it once
-        out = out.localCheckpoint()
+        # Lazy on purpose: the builder runs no job. Iterating consumers
+        # must pin the pair list themselves — connected_components
+        # already localCheckpoints its edge input eagerly, so the
+        # pairs->clusters path computes this pipeline exactly once.
+        # (The old trailing localCheckpoint existed to materialize
+        # before unpersisting the signature cache; with no cache it
+        # only added a second materialization pass per run.)
     finally:
         sig.unpersist()  # no-op unless a caller re-adds the persist
     return out

@@ -64,6 +64,21 @@ def get_spark(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
         )
+        # WindowGroupLimit (partial top-1 below the exchange) trades a
+        # MAP-SIDE SORT of the full input for fewer shuffled rows.
+        # Measured on this engine's rank-1 windows (LWW folds, argmax,
+        # latest-per-key) at their typical dedup factors of 1.3-4x:
+        # the extra sort costs ~2x the whole query locally
+        # (lww fold 2.2s -> 1.0s with the rule off) while every CDC
+        # merge path is insensitive (within noise both ways, 2M-event
+        # applies). Off by default; on a network-bound cluster with
+        # high-duplication streams (where shuffled bytes dominate and
+        # the partial prune actually removes most rows) restore
+        # Spark's default via SPARK_GRAFT_WGL_THRESHOLD=1000.
+        .config(
+            "spark.sql.optimizer.windowGroupLimitThreshold",
+            os.environ.get("SPARK_GRAFT_WGL_THRESHOLD", "-1"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
