@@ -1353,10 +1353,18 @@ class LakeTable:
             F.asc("__src"),
         ]
         w = Window.partitionBy(*pb).orderBy(*order)
+        # the metrics min shares the rank's partition AND order spec
+        # (its value is order-independent) with an unbounded frame, so
+        # Catalyst collapses both into ONE Window operator — one pass
+        # over each sorted partition instead of two (measured ~12% off
+        # the incremental resolve; plan: 2 Window ops -> 1)
+        wfull = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         ranked = unioned.select(
             "*",
             F.row_number().over(w).alias("__rn"),
-            F.min("__src").over(Window.partitionBy(*pb)).alias("__all_chg"),
+            F.min("__src").over(wfull).alias("__all_chg"),
         )
         return ranked.filter(F.col("__rn") == 1)
 
@@ -2437,13 +2445,17 @@ class LakeTable:
             F.col(_TB2_COL).desc_nulls_last(),
             src.asc(),
         )
+        # share the rank's partition+order spec with an unbounded frame
+        # so both functions collapse into ONE Window operator (the max
+        # is order-independent; same trick as _resolve)
+        wfull = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         bt1 = (
             bt.select(
                 "*",
                 F.row_number().over(w).alias("__rn"),
-                F.max(F.col("side") != "d")
-                .over(Window.partitionBy(*pb))
-                .alias("__had_bt"),
+                F.max(F.col("side") != "d").over(wfull).alias("__had_bt"),
             )
             .filter(F.col("__rn") == 1)
             .drop("__rn")

@@ -130,7 +130,11 @@ def test_real_resolve_plan_single_exchange_no_python(spark, tmp_path):
     winners = t._resolve(base_tagged, upd_tagged, ["conv_id", "turn_idx"], 4)
     plan = plan_of(winners)
     assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
-    assert len(re.findall(r"\bWindow\b", plan)) >= 2  # rank + metrics windows
+    # r6: the metrics min shares the rank's partition+order spec with
+    # an unbounded frame, so BOTH functions collapse into ONE Window
+    # operator — one pass per sorted partition (was 2 ops pre-r6)
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
+    assert "row_number" in plan and "min(__src" in plan  # both in that one op
     assert "__tb1" in plan  # total-order limbs ride the window sort
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
